@@ -1,0 +1,85 @@
+"""Jitted on-device patch extraction from padded scene stacks.
+
+The reference materializes every patch of a chunk eagerly on the host CPU
+with PIL/torchvision crops (`dataset.py:136-198`) — its main data bottleneck
+(SURVEY §3.1). Here full scenes are transferred to HBM once per chunk as
+uint8 and all cropping is a vmapped `lax.dynamic_slice` gather on device;
+context windows and multi-scale (``random_tps``) crops are resized with
+`jax.image.resize` (bilinear+antialias for imagery, matching torchvision
+v2.Resize defaults; nearest for label masks, the analogue of torchvision's
+NEAREST_EXACT, `dataset.py:131-132`).
+
+Scenes are pre-padded with zeros so out-of-image windows (context at scene
+edges, shifted tiles, border-correction margins) read zeros exactly like
+torchvision's out-of-bounds crop behavior (`dataset.py:11-23`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def pad_scenes(images: np.ndarray, pad: int) -> np.ndarray:
+    """Zero-pad a (N, H, W, ...) scene stack by ``pad`` on both spatial dims."""
+    cfg = [(0, 0), (pad, pad), (pad, pad)] + [(0, 0)] * (images.ndim - 3)
+    return np.pad(images, cfg)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def slice_windows(scenes: jnp.ndarray, coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Gather (B, size, size, [C]) windows from (N, Hp, Wp, [C]) scenes.
+
+    ``coords`` is (B, 3) int32 (scene_idx, top, left) in *padded* scene
+    coordinates. XLA clamps slice starts; callers guarantee in-range coords
+    via sufficient padding.
+    """
+    chan = scenes.shape[3:]
+
+    def one(c):
+        start = (c[0], c[1], c[2]) + (0,) * len(chan)
+        return lax.dynamic_slice(scenes, start, (1, size, size) + chan)[0]
+
+    return jax.vmap(one)(coords)
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def extract_context(
+    scenes: jnp.ndarray, coords: jnp.ndarray, patch_size: int
+) -> jnp.ndarray:
+    """3p x 3p context window resized to p x p (`dataset.py:11-16,152-156`).
+
+    ``coords`` are the *tile* origins in padded coordinates; the context
+    window starts one patch up-left.
+    """
+    p = patch_size
+    ctx_coords = coords - jnp.array([0, p, p], dtype=coords.dtype)
+    big = slice_windows(scenes, ctx_coords, 3 * p).astype(jnp.float32)
+    b, _, _, c = big.shape
+    out = jax.image.resize(big, (b, p, p, c), method="bilinear", antialias=True)
+    return jnp.clip(jnp.round(out), 0, 255).astype(scenes.dtype)
+
+
+@partial(jax.jit, static_argnames=("crop_size", "patch_size"))
+def extract_resized(
+    images: jnp.ndarray,
+    masks: jnp.ndarray,
+    coords: jnp.ndarray,
+    crop_size: int,
+    patch_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``random_tps`` multi-scale crops: crop ``crop_size`` then resize to
+    ``patch_size`` — bilinear for the image, nearest for the label mask
+    (`dataset.py:173-198`)."""
+    p = patch_size
+    img = slice_windows(images, coords, crop_size).astype(jnp.float32)
+    msk = slice_windows(masks, coords, crop_size)
+    b, _, _, c = img.shape
+    img = jax.image.resize(img, (b, p, p, c), method="bilinear", antialias=True)
+    img = jnp.clip(jnp.round(img), 0, 255).astype(images.dtype)
+    msk = jax.image.resize(msk, (b, p, p), method="nearest")
+    return img, msk

@@ -1,0 +1,121 @@
+"""Host-side scene raster reader.
+
+Mirrors the reference's GID15 directory layout (`dataset.py:256-261`):
+
+    <root>/Image__8bit_NirRGB/<stem>.<ext>          full scenes
+    <root>/Annotation__index/<stem>_15label.png     per-pixel class labels
+    <root>/Annotation__color/<stem>_15label.tif     palette-colored masks
+
+The host only *decodes* scenes to numpy; all cropping, augmentation and
+normalization happen on device (:mod:`cvcs_tpu.data.extract`), replacing the
+reference's eager CPU patch materialization (`dataset.py:136-198`, its main
+bottleneck per SURVEY §3.1).
+
+Color masks are not read on the hot path: they are a pure function of the
+index mask via the palette (:mod:`cvcs_tpu.data.palette`), so the framework
+synthesizes them on device when needed (debug plots, exports).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from pathlib import Path
+
+import numpy as np
+
+try:  # PIL is the baseline decoder; tests synthesize data through it too.
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMAGE_DIR = "Image__8bit_NirRGB"
+INDEX_DIR = "Annotation__index"
+COLOR_DIR = "Annotation__color"
+MASK_SUFFIX = "_15label"
+
+
+class SceneDataset:
+    """Lists and decodes the scenes of a GID15-style dataset root."""
+
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.image_dir = self.root / IMAGE_DIR
+        self.index_dir = self.root / INDEX_DIR
+        self.color_dir = self.root / COLOR_DIR
+        if not self.image_dir.is_dir():
+            raise FileNotFoundError(f"no {IMAGE_DIR} under {self.root}")
+        self.image_paths = sorted(self.image_dir.iterdir())
+        if not self.image_paths:
+            raise FileNotFoundError(f"no scenes under {self.image_dir}")
+        self._shape: tuple[int, int] | None = None
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def index_mask_path(self, i: int) -> Path:
+        # `<stem>_15label.png` (`dataset.py:216`)
+        return self.index_dir / (self.image_paths[i].stem + MASK_SUFFIX + ".png")
+
+    def color_mask_path(self, i: int) -> Path:
+        return self.color_dir / (self.image_paths[i].stem + MASK_SUFFIX + ".tif")
+
+    @property
+    def image_shape(self) -> tuple[int, int]:
+        """(H, W), probed from the first scene (`dataset.py:273-278`)."""
+        if self._shape is None:
+            img = self.load_image(0)
+            self._shape = (img.shape[0], img.shape[1])
+        return self._shape
+
+    def load_image(self, i: int) -> np.ndarray:
+        """Scene image as (H, W, C) uint8."""
+        arr = np.asarray(Image.open(self.image_paths[i]))
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr
+
+    def load_index_mask(self, i: int) -> np.ndarray:
+        """Index mask as (H, W) uint8. 3-channel masks collapse to channel 0
+        (the reference's `mask_reshape`, `utils.py:557-567`)."""
+        arr = np.asarray(Image.open(self.index_mask_path(i)))
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        return arr
+
+    def load_color_mask(self, i: int) -> np.ndarray:
+        arr = np.asarray(Image.open(self.color_mask_path(i)))
+        return arr
+
+    @functools.lru_cache(maxsize=None)
+    def class_counts(self, num_classes: int) -> np.ndarray:
+        """Per-class pixel counts over all index masks (`dataset.py:346-358`),
+        cached like the reference's ``self.count``."""
+        counts = np.zeros(num_classes, dtype=np.int64)
+        for i in range(len(self)):
+            mask = self.load_index_mask(i)
+            counts += np.bincount(
+                mask.reshape(-1), minlength=num_classes
+            )[:num_classes]
+        return counts
+
+
+def class_weights(counts: np.ndarray, ignore_background: bool = False) -> np.ndarray:
+    """Class-balanced weights w_j = total / (bins * count_j)
+    (`dataset.py:360-384`). Zero-count classes get weight 0; with
+    ``ignore_background`` class 0 is excluded from the statistics and given
+    weight 0."""
+    counts = np.asarray(counts, dtype=np.float64)
+    active = counts[1:] if ignore_background else counts
+    total = active.sum()
+    bins = len(active)
+    w = np.where(active > 0, total / (bins * np.maximum(active, 1)), 0.0)
+    if ignore_background:
+        w = np.concatenate([[0.0], w])
+    return w.astype(np.float32)
+
+
+def class_priors(counts: np.ndarray) -> np.ndarray:
+    """total / count_j (`dataset.py:386-388`)."""
+    counts = np.asarray(counts, dtype=np.float64)
+    return (counts.sum() / counts).astype(np.float32)
