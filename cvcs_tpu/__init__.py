@@ -18,3 +18,9 @@ reference at /root/reference, cited throughout as `<file>:<line>`).
 __version__ = "0.1.0"
 
 from cvcs_tpu.core import mesh, precision  # noqa: F401
+from cvcs_tpu.core.mesh import MeshConfig, create_mesh, local_mesh  # noqa: F401
+from cvcs_tpu.core.precision import Policy, DEFAULT_POLICY  # noqa: F401
+from cvcs_tpu.data.geometry import TileGrid  # noqa: F401
+from cvcs_tpu.data.reader import SceneDataset  # noqa: F401
+from cvcs_tpu.data.loader import ChunkLoader  # noqa: F401
+from cvcs_tpu.models.registry import build_model, MODEL_REGISTRY  # noqa: F401

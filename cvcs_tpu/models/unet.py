@@ -1,0 +1,117 @@
+"""The UNet family ("Unet" / "Unetv2" in the reference's zoo).
+
+Capability-parity with the reference's hand-written U-Nets
+(`source/scripts/nets.py:34-199`): a classic 5-level encoder
+(64 -> 128 -> 256 -> 512 -> 1024 channels, two conv-BN-ReLU per level, 2x2
+maxpool between levels) and a skip-concat decoder. The two variants differ
+only in how they upsample:
+
+* ``UNet``   ("Unet",   `nets.py:34-115`) — 2x bilinear upsample + conv3x3
+  halving channels.
+* ``UNetV2`` ("Unetv2", `nets.py:117-199`) — ``ConvTranspose(k=2, s=2)``.
+  This is the reference paper's primary model (all its inference configs
+  use it).
+
+TPU-first re-design: NHWC so every conv lands on the MXU, bf16 compute with
+f32 params/BN stats, and a functional (linen) module so the whole network
+jits into a single XLA program. The level-3 skip concat center-crops the
+upsampled tensor to the skip's size for odd input sizes, exactly like the
+reference (`nets.py:109,193`); for the supported patch sizes (224/256/512,
+all divisible by 16) the crop is a no-op.
+
+Model protocol (reference `nets.py:12-33`): ``requires_context = False``,
+``returns_logits = True`` — forward returns (B, H, W, num_classes) logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cvcs_tpu.models.blocks import ConvBNAct, DecodeBlock, UpscaleBlock, center_crop
+
+ENCODER_WIDTHS = (64, 128, 256, 512, 1024)
+
+
+class _Encoder(nn.Module):
+    """5-level UNet encoder; returns all level features for skips."""
+
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = []
+        for level, width in enumerate(ENCODER_WIDTHS):
+            if level > 0:
+                x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            x = ConvBNAct(width, dtype=self.dtype,
+                          param_dtype=self.param_dtype)(x, train)
+            x = ConvBNAct(width, dtype=self.dtype,
+                          param_dtype=self.param_dtype)(x, train)
+            feats.append(x)
+        return feats
+
+
+class UNet(nn.Module):
+    """5-level U-Net. ``upsample='bilinear'`` is the reference's "Unet",
+    ``upsample='transpose'`` its "Unetv2"."""
+
+    num_classes: int
+    upsample: str = "bilinear"  # "bilinear" | "transpose"
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    requires_context = False
+    returns_logits = True
+
+    @nn.compact
+    def __call__(self, x, context=None, train: bool = False):
+        del context  # protocol arg; UNet ignores it (`nets.py:96`)
+        x = jnp.asarray(x, self.dtype)
+        x1, x2, x3, x4, x5 = _Encoder(
+            dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+
+        def up(y):
+            if self.upsample == "bilinear":
+                return UpscaleBlock(dtype=self.dtype,
+                                    param_dtype=self.param_dtype)(y)
+            return nn.ConvTranspose(
+                y.shape[-1] // 2, kernel_size=(2, 2), strides=(2, 2),
+                dtype=self.dtype, param_dtype=self.param_dtype)(y)
+
+        y = up(x5)
+        y = DecodeBlock(512, dtype=self.dtype,
+                        param_dtype=self.param_dtype)(
+            jnp.concatenate([x4, y], axis=-1), train)
+        y = up(y)
+        y = DecodeBlock(256, dtype=self.dtype,
+                        param_dtype=self.param_dtype)(
+            jnp.concatenate([x3, y], axis=-1), train)
+        y = up(y)
+        # Reference center-crops the upsampled tensor to the skip's spatial
+        # size at this level only (`nets.py:109`).
+        y = center_crop(y, x2.shape[1])
+        y = DecodeBlock(128, dtype=self.dtype,
+                        param_dtype=self.param_dtype)(
+            jnp.concatenate([y, x2], axis=-1), train)
+        y = up(y)
+        y = DecodeBlock(64, dtype=self.dtype,
+                        param_dtype=self.param_dtype)(
+            jnp.concatenate([x1, y], axis=-1), train)
+        logits = nn.Conv(
+            self.num_classes, kernel_size=(1, 1),
+            dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        return logits.astype(jnp.float32)
+
+
+def unet(num_classes: int, **kw) -> UNet:
+    """Reference "Unet" (`utils.py:178-179`)."""
+    return UNet(num_classes=num_classes, upsample="bilinear", **kw)
+
+
+def unet_v2(num_classes: int, **kw) -> UNet:
+    """Reference "Unetv2" (`utils.py:180-181`) — the paper's primary model."""
+    return UNet(num_classes=num_classes, upsample="transpose", **kw)

@@ -1,0 +1,116 @@
+"""Model zoo shape/dtype/protocol tests (SURVEY §4 test pyramid).
+
+All run on the CPU backend with f32 compute (bf16 emulation on CPU is slow)
+and tiny spatial sizes; divisibility constraints mirror the real patch
+sizes (everything divides by 32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvcs_tpu.models import build_model, MODEL_REGISTRY
+from cvcs_tpu.models.ensemble import Ensemble, EnsembleMember
+
+F32 = dict(dtype=jnp.float32)
+P = 32  # tiny stand-in for 224; divisible by 32 for all backbones
+NUM_CLASSES = 16
+
+
+def _init_and_apply(model, x, train=False):
+    # jit the whole init: eager linen init compiles one tiny XLA program per
+    # parameter, which is pathologically slow on this CPU.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False)
+    out = jax.jit(model.apply, static_argnames=("train", "mutable"))(
+        variables, x, train=train,
+        rngs={"dropout": jax.random.key(2)},
+        mutable=("batch_stats",) if train else False)
+    return variables, out
+
+
+@pytest.mark.parametrize("name", ["Unet", "Unetv2"])
+def test_unet_family_shapes(name):
+    model, spec = build_model(name, NUM_CLASSES, **F32)
+    x = jnp.zeros((2, P, P, 3), jnp.float32)
+    _, logits = _init_and_apply(model, x)
+    assert logits.shape == (2, P, P, NUM_CLASSES)
+    assert logits.dtype == jnp.float32
+    assert spec.returns_logits and not spec.requires_context
+
+
+@pytest.mark.parametrize("name,backbone_kw", [
+    ("Resnet50", {}),
+    ("MobileNet", {}),
+])
+def test_deeplab_shapes(name, backbone_kw):
+    model, spec = build_model(name, NUM_CLASSES, **F32, **backbone_kw)
+    x = jnp.zeros((1, P, P, 3), jnp.float32)
+    _, logits = _init_and_apply(model, x)
+    assert logits.shape == (1, P, P, NUM_CLASSES)
+    assert spec.wrapper
+
+
+def test_deeplab_resnet18_swap():
+    model, _ = build_model("MobileNetResnet18", NUM_CLASSES, **F32)
+    x = jnp.zeros((1, P, P, 3), jnp.float32)
+    _, logits = _init_and_apply(model, x)
+    assert logits.shape == (1, P, P, NUM_CLASSES)
+
+
+def test_deeplab_googlenet_swap():
+    model, _ = build_model("MobileNetGoogle", NUM_CLASSES, **F32)
+    x = jnp.zeros((1, P, P, 3), jnp.float32)
+    _, logits = _init_and_apply(model, x)
+    assert logits.shape == (1, P, P, NUM_CLASSES)
+
+
+def test_segformer_b0_shapes():
+    model, _ = build_model("SegformerB0", NUM_CLASSES, **F32)
+    x = jnp.zeros((1, P, P, 3), jnp.float32)
+    _, logits = _init_and_apply(model, x)
+    assert logits.shape == (1, P, P, NUM_CLASSES)
+
+
+def test_train_mode_updates_batch_stats():
+    model, _ = build_model("Unetv2", NUM_CLASSES, **F32)
+    x = jax.random.uniform(jax.random.key(3), (2, P, P, 3)) * 255.0
+    variables, (logits, mutated) = _init_and_apply(model, x, train=True)
+    # running stats must move away from init
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_ensemble_majority_vote():
+    b, h, w = 1, 4, 4
+
+    def const_member(label):
+        def apply(image, context=None):
+            return jnp.full((b, h, w), label, jnp.int32)
+        return EnsembleMember(f"m{label}", apply, returns_logits=False)
+
+    ens = Ensemble(
+        [const_member(3), const_member(3), const_member(5)], NUM_CLASSES)
+    out = ens(jnp.zeros((b, h, w, 3)))
+    assert out.shape == (b, h, w)
+    assert int(out[0, 0, 0]) == 3
+
+    # tie -> smallest label (torch.mode parity)
+    ens2 = Ensemble([const_member(7), const_member(2)], NUM_CLASSES)
+    assert int(ens2(jnp.zeros((b, h, w, 3)))[0, 0, 0]) == 2
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(ValueError):
+        build_model("TSwin", NUM_CLASSES)  # docs-drift net, must not exist
+    with pytest.raises(ValueError):
+        build_model("Ensemble", NUM_CLASSES)
+
+
+def test_registry_names_cover_reference_zoo():
+    for name in ["Unet", "Unetv2", "Resnet101", "Resnet50", "MobileNet",
+                 "SegformerMod"]:
+        assert name in MODEL_REGISTRY
