@@ -7,7 +7,16 @@ must happen before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the machine environment pins JAX_PLATFORMS to
+# the tunneled TPU platform, which would silently route every unit test
+# through a per-dispatch RPC. Tests always run on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The machine's sitecustomize additionally calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# overriding the env var — undo it before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: model-zoo tests are compile-bound, repeat
 # runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
