@@ -1,0 +1,219 @@
+"""Sliding-window whole-scene segmentation engine.
+
+Capability parity with the reference's inference path (`inference.py`,
+`utils.inference` `utils.py:145-171`, `esa.py`): tile a full scene row-major
+into p x p patches, forward each inside a larger bc x bc border-correction
+window, center-crop the logits back to p (anti-tiling), argmax, and emit a
+full-scene label map plus color-mask exports.
+
+TPU-first re-design (SURVEY §3.3 — the reference round-trips every patch
+through the host, writes 960 PNGs, then *re-reads them all* to stitch):
+
+* the scene is transferred to HBM once (uint8), all window gathers /
+  forwards / crops / argmaxes / stitching happen inside ONE jitted program
+  (`lax.scan` over tile batches, `dynamic_update_slice` into an on-device
+  label canvas);
+* per-patch PNG export and the stitched ``map.png`` are optional host-side
+  writes of results that already exist on device;
+* border-correction geometry is *centered* by default, fixing the
+  reference's (bc-p)/2 systematic offset (`dataset.py:18-23` +
+  `utils.py:146,154`, SURVEY quirk 2); ``bug_parity=True`` reproduces the
+  reference's bottom-right-anchored windows exactly;
+* multi-device: scene row-strips shard over the mesh's ``spatial`` axis
+  under ``shard_map``; border windows at strip seams are healed with a
+  ppermute halo exchange (:mod:`cvcs_tpu.parallel.halo`) and each device
+  stitches its own strip — scene-level context parallelism over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cvcs_tpu.core.mesh import SPATIAL_AXIS
+from cvcs_tpu.data.geometry import TileGrid
+from cvcs_tpu.data.palette import GID15Palette
+from cvcs_tpu.parallel.halo import exchange_row_halo
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Inference-config vocabulary (reference `configs/inference/*.yaml`)."""
+
+    patch_size: int = 224
+    border_correction: int | None = 256   # None -> raw p x p forwards
+    batch_tiles: int = 16                 # windows per forward
+    num_classes: int = 16
+    bug_parity: bool = False              # reference's anchored windows
+    mask_only: bool = True                # bare color PNG vs 3-panel figure
+
+
+class SceneSegmenter:
+    """Whole-scene segmentation for one model + restored variables."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,          # model.apply
+        variables: Any,              # {"params", "batch_stats"}
+        config: InferenceConfig,
+        returns_logits: bool = True,
+        requires_context: bool = False,
+    ):
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.cfg = config
+        self.returns_logits = returns_logits
+        self.requires_context = requires_context
+        self.palette = GID15Palette()
+        # variables are a traced argument (not baked constants); apply_fn
+        # and the geometry are static via closure.
+        self._run_jit = jax.jit(self._run_scene,
+                                static_argnames=("rows", "cols"))
+
+    # -- geometry ------------------------------------------------------------
+    def _window(self) -> tuple[int, int]:
+        """(window size, offset of window top-left relative to tile)."""
+        p = self.cfg.patch_size
+        bc = self.cfg.border_correction or p
+        margin = bc - p
+        off = margin if self.cfg.bug_parity else margin // 2
+        return bc, off
+
+    # -- single-device whole-scene path ---------------------------------------
+    def _run_scene(self, variables, scene_pad: jnp.ndarray, rows: int,
+                   cols: int):
+        """scene_pad: (H + 2*margin_pad, W + 2*margin_pad, C) uint8, where
+        margin_pad = bc - p covers both anchoring modes. Returns (H, W) i32."""
+        p = self.cfg.patch_size
+        bc, off = self._window()
+        pad = bc - p
+        n_tiles = rows * cols
+        bt = min(self.cfg.batch_tiles, n_tiles)
+        n_batches = -(-n_tiles // bt)
+
+        idx = jnp.arange(n_batches * bt) % n_tiles   # wrap the tail batch
+        tly = (idx // cols) * p
+        tlx = (idx % cols) * p
+        # window top-left in padded coords
+        wy = tly + pad - off
+        wx = tlx + pad - off
+        origins = jnp.stack(
+            [wy, wx, tly, tlx], axis=1).reshape(n_batches, bt, 4)
+
+        def gather(o):
+            return lax.dynamic_slice(
+                scene_pad, (o[0], o[1], 0), (bc, bc, scene_pad.shape[2]))
+
+        def step(canvas, obatch):
+            wins = jax.vmap(gather)(obatch).astype(jnp.float32)
+            out = self.apply_fn(variables, wins, context=None,
+                                train=False)
+            if self.returns_logits:
+                lab = jnp.argmax(out, axis=-1).astype(jnp.int32)
+            else:
+                lab = out.astype(jnp.int32)
+            # center-crop the label window back to the tile
+            crop0 = (bc - p) // 2
+            lab = lax.dynamic_slice(
+                lab, (0, crop0, crop0), (lab.shape[0], p, p))
+
+            def put(cv, i):
+                return lax.dynamic_update_slice(
+                    cv, lab[i], (obatch[i, 2], obatch[i, 3])), None
+
+            canvas, _ = lax.scan(put, canvas, jnp.arange(bt))
+            return canvas, None
+
+        canvas = jnp.zeros(
+            (rows * p, cols * p), jnp.int32)
+        canvas, _ = lax.scan(step, canvas, origins)
+        return canvas
+
+    def predict_scene(self, scene: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """Scene (H, W, C) uint8 -> on-device (H', W') int32 label map, where
+        H'/W' are the largest tile-aligned dims (reference drops partial
+        tiles, `dataset.py:63-64`)."""
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        scene = jnp.asarray(scene)
+        scene_pad = jnp.pad(scene, ((pad, pad), (pad, pad), (0, 0)))
+        return self._run_jit(self.variables, scene_pad, grid.rows, grid.cols)
+
+    # -- multi-device spatially-sharded path -----------------------------------
+    def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:
+        """Shard the scene's rows over the mesh's ``spatial`` axis, heal
+        window seams with a ppermute halo, stitch per-device strips.
+
+        The scene's tile-aligned height must divide evenly by
+        ``patch_size * spatial_axis_size``.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        n_sp = mesh.shape[SPATIAL_AXIS]
+        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        h, w = grid.rows * p, grid.cols * p
+        if grid.rows % n_sp:
+            raise ValueError(
+                f"{grid.rows} tile rows do not shard over {n_sp} devices")
+        scene = jnp.asarray(scene)[:h, :w]
+        # pad columns only; rows are extended via halo exchange
+        scene_pad_cols = jnp.pad(scene, ((0, 0), (pad, pad), (0, 0)))
+        rows_local = grid.rows // n_sp
+
+        def body(variables, strip):
+            # strip: (h/n, w + 2*pad, C) local rows
+            ext = exchange_row_halo(strip, pad, SPATIAL_AXIS)
+            return self._run_scene(variables, ext, rows_local, grid.cols)
+
+        spec_in = P(SPATIAL_AXIS, None, None)
+        spec_out = P(SPATIAL_AXIS, None)
+        fn = shard_map(body, mesh=mesh, in_specs=(P(), spec_in),
+                       out_specs=spec_out, check_rep=False)
+        x = jax.device_put(
+            scene_pad_cols, NamedSharding(mesh, spec_in))
+        variables = jax.device_put(
+            self.variables, NamedSharding(mesh, P()))
+        return jax.jit(fn)(variables, x)
+
+    # -- exports ----------------------------------------------------------------
+    def export_patches(self, labels: jnp.ndarray, out_dir,
+                       start_index: int = 0) -> list:
+        """Per-tile color-mask PNGs named ``{i}.png`` in row-major order —
+        the reference's per-patch output contract (`utils.py:161-171`)."""
+        from pathlib import Path
+
+        from PIL import Image
+
+        p = self.cfg.patch_size
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rows, cols = labels.shape[0] // p, labels.shape[1] // p
+        rgb = np.asarray(self.palette.decode_u8(labels))
+        paths = []
+        for r in range(rows):
+            for c in range(cols):
+                i = start_index + r * cols + c
+                tile = rgb[r * p:(r + 1) * p, c * p:(c + 1) * p]
+                path = out_dir / f"{i}.png"
+                Image.fromarray(tile).save(path)
+                paths.append(path)
+        return paths
+
+    def export_map(self, labels: jnp.ndarray, path) -> None:
+        """Stitched full-scene color map (`inference.py:40-57` `out_image`),
+        written once from the on-device canvas — no tile re-reads."""
+        from PIL import Image
+
+        rgb = np.asarray(self.palette.decode_u8(labels))
+        Image.fromarray(rgb).save(path)

@@ -1,0 +1,134 @@
+"""Checkpoint / resume — the reference's one real auxiliary subsystem.
+
+Format parity with `utils.save_model` (`utils.py:128-142`) / the resume path
+(`train.py:74-100`): a checkpoint directory ``checkpoint{epoch+1}`` holding
+
+* the train-state pytree (params / batch_stats / optimizer state) — saved
+  with Orbax (async-capable, TPU-native, sharding-aware), and
+* ``meta.json`` with the reference's 12-key metadata surface: epoch,
+  training/validation loss histories, batch_size (which resume *re-imposes
+  over the config*, `train.py:89` — quirk 5 kept), optimizer name, and the
+  flat + normalized confusion matrices of the last precision evaluation.
+
+Orbax writes atomically; ``latest_checkpoint`` resolves the newest epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"^checkpoint(\d+)$")
+
+
+def jnp_leaf_cast(value, template):
+    """Cast a restored leaf to the template leaf's dtype (shape must match)."""
+    arr = np.asarray(value)
+    if tuple(arr.shape) != tuple(template.shape):
+        raise ValueError(
+            f"restored leaf shape {arr.shape} != expected {template.shape}")
+    return arr.astype(template.dtype)
+
+
+def _to_jsonable(x):
+    if isinstance(x, (np.ndarray, jax.Array)):
+        return np.asarray(x).tolist()
+    return x
+
+
+def save_checkpoint(
+    directory: str | Path,
+    epoch: int,
+    state,
+    train_loss: list[float],
+    val_loss: list[float],
+    batch_size: int,
+    optimizer: str,
+    conf_flat: Any = None,
+    conf_normalized: Any = None,
+) -> Path:
+    """Write ``<dir>/checkpoint{epoch+1}`` (name parity: `utils.py:142`)."""
+    directory = Path(directory)
+    path = directory / f"checkpoint{epoch + 1}"
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr.save((path / "state").absolute(), tree, force=True)
+    meta = {
+        "epoch": epoch,
+        "training_loss_values": [float(v) for v in train_loss],
+        "validation_loss_values": [float(v) for v in val_loss],
+        "batch_size": int(batch_size),
+        "optimizer": optimizer,
+        "conf_flat": _to_jsonable(conf_flat),
+        "conf_normalized": _to_jsonable(conf_normalized),
+        # deprecated in the reference, kept as keys for format parity
+        "macro_precision": [],
+        "weighted_precision": [],
+    }
+    (path / "meta.json").write_text(json.dumps(meta))
+    return path
+
+
+def load_checkpoint(path: str | Path, state):
+    """Restore ``state``'s pytree (template = freshly-initialized state) and
+    the metadata dict. Mirrors `train.py:74-100` incl. graceful handling of
+    checkpoints with missing metadata keys."""
+    path = Path(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    # Orbax round-trips tuples (optax states) as lists, so the restored
+    # treedef differs from the live one. Leaf order is stable, so restore
+    # raw and unflatten into the template's structure, re-imposing each
+    # leaf's dtype and sharding.
+    raw = ckptr.restore((path / "state").absolute())
+    leaves = jax.tree_util.tree_leaves(raw)
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint at {path} has {len(leaves)} leaves, expected "
+            f"{len(t_leaves)} — incompatible model/optimizer")
+    placed = [
+        jax.device_put(jnp_leaf_cast(lv, tv), tv.sharding)
+        if isinstance(tv, jax.Array) else lv
+        for lv, tv in zip(leaves, t_leaves)
+    ]
+    restored = jax.tree_util.tree_unflatten(treedef, placed)
+    meta_path = path / "meta.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return new_state, meta
+
+
+def latest_checkpoint(directory: str | Path) -> Path | None:
+    """Highest-numbered ``checkpoint{N}`` under ``directory``, or None."""
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    best, best_n = None, -1
+    for child in directory.iterdir():
+        m = _CKPT_RE.match(child.name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = child, int(m.group(1))
+    return best

@@ -1,0 +1,216 @@
+"""Epoch / chunk / batch training orchestration.
+
+Call-stack parity with `train.py:104-169`: per-epoch scene reshuffle, chunk
+loop, per-batch loss appended to the training history, per-epoch scheduler
+step and validation loss, confusion-matrix evaluation every
+``precision_evaluation_freq`` epochs, checkpoint every ``freq`` epochs,
+resume from ``load_checkpoint``.
+
+TPU-first differences (SURVEY §7): batches are device-resident gathers from
+a chunk materialized in HBM, the train step is one donated XLA program, the
+loss history syncs to host once per chunk (not per batch — the reference's
+``loss.item()`` per step stalls the pipeline), evaluation accumulates a
+confusion matrix on device with one fold per chunk, and everything shards
+over a ``data``-axis mesh when more than one device is present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvcs_tpu.core import mesh as mesh_lib
+from cvcs_tpu.data.loader import ChunkLoader
+from cvcs_tpu.metrics import confusion, scores
+from cvcs_tpu.train import checkpoint as ckpt_lib
+from cvcs_tpu.train.optim import OptimizerBundle
+from cvcs_tpu.train.state import TrainState
+from cvcs_tpu.train.step import make_loss_step, make_predict_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The reference's train-config vocabulary (`configs/train/README.txt`)."""
+
+    epochs: int
+    batch_size: int
+    checkpoint_directory: str
+    freq: int = 1                        # checkpoint every N epochs
+    precision_evaluation_freq: int = 10  # confusion eval every N epochs
+    num_classes: int = 15                # foreground classes (bg added on top)
+    ignore_background: bool = False
+    random_tps: list | None = None
+    verbose: bool = False
+    seed: int = 0
+
+
+class Trainer:
+    """Drives training of one model over train/validation ChunkLoaders."""
+
+    def __init__(
+        self,
+        model,
+        spec,
+        state: TrainState,
+        optimizer: OptimizerBundle,
+        loss_fn: Callable,
+        train_loader: ChunkLoader,
+        val_loader: ChunkLoader,
+        config: TrainConfig,
+        mesh=None,
+        log: Callable[[str], None] = lambda s: print(s, flush=True),
+    ):
+        self.model = model
+        self.spec = spec
+        self.state = state
+        self.optimizer = optimizer
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.mesh = mesh
+        self.log = log
+
+        self.train_step = make_train_step(loss_fn, spec.requires_context)
+        self.loss_step = make_loss_step(loss_fn, spec.requires_context)
+        self.predict_step = make_predict_step(
+            spec.returns_logits, spec.requires_context)
+        self.dropout_key = jax.random.key(config.seed ^ 0xD0)
+
+        self.training_loss_values: list[float] = []
+        self.validation_loss_values: list[float] = []
+        self.conf_history: list[Any] = []
+        self.last_epoch = 0
+        self.last_metrics: dict | None = None
+
+    # -- resume ------------------------------------------------------------
+    def resume(self, path: str | Path) -> None:
+        """`train.py:74-100`: restore state + histories; the checkpoint's
+        batch_size overrides the config (quirk 5, kept)."""
+        self.state, meta = ckpt_lib.load_checkpoint(path, self.state)
+        self.training_loss_values = meta.get("training_loss_values", [])
+        self.validation_loss_values = meta.get("validation_loss_values", [])
+        self.last_epoch = int(meta.get("epoch", -1)) + 1
+        if meta.get("batch_size"):
+            self.config.batch_size = int(meta["batch_size"])
+        self.log(f"Resumed from {path} at epoch {self.last_epoch} "
+                 f"(batch_size={self.config.batch_size})")
+
+    # -- device placement ---------------------------------------------------
+    def _shard(self, *arrays):
+        if self.mesh is None or np.prod(tuple(self.mesh.shape.values())) == 1:
+            return arrays
+        return tuple(
+            None if a is None else jax.device_put(
+                a, mesh_lib.batch_sharding(self.mesh, a.ndim))
+            for a in arrays)
+
+    # -- main loop -----------------------------------------------------------
+    def train(self) -> TrainState:
+        cfg = self.config
+        bs = cfg.batch_size
+        num_classes = cfg.num_classes + 1
+        for epoch in range(self.last_epoch, cfg.epochs):
+            self.log(f"Started epoch {epoch + 1}")
+            t_epoch = time.time()
+            lr = self.optimizer.lr_for_epoch(epoch)
+            self.train_loader.shuffle()
+            n_patches = 0
+            for c in range(len(self.train_loader)):
+                chunk = self.train_loader.get_chunk(c, cfg.random_tps)
+                chunk_losses = []
+                for batch in chunk.batches(bs, drop_last=True):
+                    image, mask, ctx = self._shard(
+                        batch.image, batch.mask, batch.context)
+                    if ctx is None:
+                        ctx = jnp.zeros((), jnp.uint8)  # placeholder leaf
+                    self.state, loss = self.train_step(
+                        self.state, image, mask, ctx,
+                        jnp.float32(lr), self.dropout_key)
+                    chunk_losses.append(loss)
+                    n_patches += int(image.shape[0])
+                # one host sync per chunk
+                self.training_loss_values += [
+                    float(v) for v in jax.device_get(chunk_losses)]
+            epoch_s = time.time() - t_epoch
+            if cfg.verbose and self.training_loss_values:
+                self.log(
+                    f"Epoch {epoch + 1}: loss="
+                    f"{self.training_loss_values[-1]:.4f} "
+                    f"({n_patches / max(epoch_s, 1e-9):.1f} patches/s)")
+
+            self.log("Running validation...")
+            self.validation_loss_values += self.validation_loss()
+
+            if (epoch + 1) % cfg.precision_evaluation_freq == 0:
+                self.log(f"Evaluating precision after epoch {epoch + 1}")
+                host_conf = self.evaluate(num_classes)
+                self.last_metrics = scores.print_metrics(host_conf.total)
+                self.conf_history.append(host_conf.total)
+
+            if (epoch + 1) % cfg.freq == 0:
+                ckpt_lib.save_checkpoint(
+                    cfg.checkpoint_directory, epoch, self.state,
+                    self.training_loss_values, self.validation_loss_values,
+                    bs, self.optimizer.name,
+                    conf_flat=self.conf_history[-1]
+                    if self.conf_history else None,
+                    conf_normalized=confusion.normalize_rows(
+                        self.conf_history[-1])
+                    if self.conf_history else None)
+                self.log(f"Saved checkpoint {epoch + 1}")
+
+        self.log("Training Done!")
+        if self.training_loss_values:
+            self.log(f"Reached training loss: {self.training_loss_values[-1]}")
+        if self.validation_loss_values:
+            self.log("Reached validation loss: "
+                     f"{self.validation_loss_values[-1]}")
+        return self.state
+
+    # -- validation / evaluation ---------------------------------------------
+    def validation_loss(self) -> list[float]:
+        """`utils.validation_loss` (`utils.py:106-126`)."""
+        values = []
+        for c in range(len(self.val_loader)):
+            chunk = self.val_loader.get_chunk(c, shuffle_patches=False)
+            for batch in chunk.batches(self.config.batch_size,
+                                       drop_last=True):
+                image, mask, ctx = self._shard(
+                    batch.image, batch.mask, batch.context)
+                if ctx is None:
+                    ctx = jnp.zeros((), jnp.uint8)
+                values.append(self.loss_step(self.state, image, mask, ctx))
+        return [float(v) for v in jax.device_get(values)]
+
+    def evaluate(self, num_classes: int = 16,
+                 batch_size: int = 8) -> confusion.HostConfusion:
+        """`utils.eval_model` (`utils.py:59-103`) — device-side confusion
+        accumulation, one host fold per chunk. Uses a real batch size
+        instead of the reference's batch_size=1 eval (same math, ~8x fewer
+        dispatches)."""
+        ignore = 0 if self.config.ignore_background else None
+        host = confusion.HostConfusion(num_classes)
+        for c in range(len(self.val_loader)):
+            chunk = self.val_loader.get_chunk(c, shuffle_patches=False)
+            conf = confusion.confusion_matrix(num_classes)
+            for batch in chunk.batches(batch_size, drop_last=False):
+                image, mask, ctx = self._shard(
+                    batch.image, batch.mask, batch.context)
+                if ctx is None:
+                    ctx = jnp.zeros((), jnp.uint8)
+                pred = self.predict_step(self.state, image, ctx)
+                if batch.valid is not None:
+                    # mask out padding samples via an out-of-range target
+                    mask = jnp.where(
+                        batch.valid[:, None, None], mask, num_classes + 1)
+                conf = confusion.update_confusion(
+                    conf, pred, mask, num_classes=num_classes,
+                    ignore_index=ignore)
+            host.fold(conf)
+        return host

@@ -1,0 +1,87 @@
+"""Jitted train / validation / evaluation steps.
+
+One XLA program per step kind (forward+backward+update fused; the state is
+donated so parameters update in place in HBM). Under a ``data``-axis mesh
+the batch arrives sharded and parameters replicated — XLA's SPMD
+partitioner inserts the gradient ``psum`` over ICI automatically; nothing
+here is device-count-specific (SURVEY §2.7's TPU-native DP story, replacing
+the reference's absent distributed layer).
+
+Reference call-stack parity (`train.py:114-126`): inputs arrive uint8 and
+are cast to float inside the step (`train.py:121` ``.float()``), the loss
+sees raw logits, and BN statistics update in train mode only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def make_train_step(loss_fn: Callable, requires_context: bool = False):
+    """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, image, mask, context, lr, dropout_key):
+        x = image.astype(jnp.float32)
+        ctx = context.astype(jnp.float32) if requires_context else None
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mutated = state.apply_fn(
+                variables, x, context=ctx, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(dropout_key, state.step)})
+            return loss_fn(logits, mask), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_loss_step(loss_fn: Callable, requires_context: bool = False):
+    """Validation-loss step (`utils.validation_loss`, `utils.py:106-126`)."""
+
+    @jax.jit
+    def loss_step(state, image, mask, context):
+        x = image.astype(jnp.float32)
+        ctx = context.astype(jnp.float32) if requires_context else None
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, x, context=ctx, train=False)
+        return loss_fn(logits, mask)
+
+    return loss_step
+
+
+def make_predict_step(returns_logits: bool = True,
+                      requires_context: bool = False):
+    """Inference/eval step: (state, image, context) -> int32 label map."""
+
+    @jax.jit
+    def predict_step(state, image, context):
+        x = image.astype(jnp.float32)
+        ctx = context.astype(jnp.float32) if requires_context else None
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out = state.apply_fn(variables, x, context=ctx, train=False)
+        if returns_logits:
+            out = jnp.argmax(out, axis=-1)
+        return out.astype(jnp.int32)
+
+    return predict_step

@@ -1,0 +1,109 @@
+"""Sliding-window engine tests: border-correction geometry (centered vs the
+reference's bug-parity anchoring), on-device stitching, spatially-sharded
+multi-device path vs single-device (SURVEY §4: 8-virtual-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvcs_tpu.core.mesh import MeshConfig, create_mesh
+from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
+
+P = 16
+BC = 24  # margin 8, off 4
+NUM_CLASSES = 16
+
+
+def identity_apply(variables, x, context=None, train=False):
+    """Fake model: class = channel 0 of the input pixel (labels ride in the
+    image), one-hot as logits. Makes window geometry exactly observable."""
+    lab = jnp.clip(jnp.round(x[..., 0]), 0, NUM_CLASSES - 1).astype(jnp.int32)
+    return jax.nn.one_hot(lab, NUM_CLASSES)
+
+
+def _scene(h=64, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    lab = rng.integers(0, NUM_CLASSES, size=(h // 8, w // 8), dtype=np.uint8)
+    lab = np.kron(lab, np.ones((8, 8), np.uint8))
+    scene = np.stack([lab, lab, lab], axis=-1)
+    return scene, lab
+
+
+def _segmenter(**kw):
+    cfg = InferenceConfig(patch_size=P, border_correction=BC,
+                          batch_tiles=4, num_classes=NUM_CLASSES, **kw)
+    return SceneSegmenter(identity_apply, {}, cfg)
+
+
+def test_centered_border_correction_is_exact():
+    scene, lab = _scene()
+    seg = _segmenter()
+    out = np.asarray(seg.predict_scene(scene))
+    np.testing.assert_array_equal(out, lab)
+
+
+def test_no_border_correction_is_exact():
+    scene, lab = _scene(seed=1)
+    cfg = InferenceConfig(patch_size=P, border_correction=None,
+                          batch_tiles=3, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(identity_apply, {}, cfg)
+    out = np.asarray(seg.predict_scene(scene))
+    np.testing.assert_array_equal(out, lab)
+
+
+def test_bug_parity_shifts_by_half_margin():
+    """Reference anchoring samples the region shifted up-left by
+    (bc-p)/2 (SURVEY quirk 2)."""
+    scene, lab = _scene(seed=2)
+    seg = _segmenter(bug_parity=True)
+    out = np.asarray(seg.predict_scene(scene))
+    shift = (BC - P) // 2
+    # interior tiles: out[y, x] == lab[y - shift, x - shift]
+    inner = out[P:2 * P, P:2 * P]
+    expect = lab[P - shift:2 * P - shift, P - shift:2 * P - shift]
+    np.testing.assert_array_equal(inner, expect)
+
+
+def test_partial_tiles_dropped():
+    scene, lab = _scene(h=64 + 5, w=96 + 7, seed=3)
+    seg = _segmenter()
+    out = np.asarray(seg.predict_scene(scene))
+    assert out.shape == (64, 96)
+    np.testing.assert_array_equal(out, lab[:64, :96])
+
+
+def test_sharded_matches_single_device():
+    scene, lab = _scene(h=128, w=64, seed=4)  # 8 tile rows over 8 devices
+    seg = _segmenter()
+    single = np.asarray(seg.predict_scene(scene))
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    sharded = np.asarray(seg.predict_scene_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+    np.testing.assert_array_equal(sharded, lab)
+
+
+def test_sharded_bug_parity_matches_single_device():
+    scene, _ = _scene(h=128, w=64, seed=5)
+    seg = _segmenter(bug_parity=True)
+    single = np.asarray(seg.predict_scene(scene))
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    sharded = np.asarray(seg.predict_scene_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_exports(tmp_path):
+    from PIL import Image
+
+    from cvcs_tpu.data.palette import PALETTE
+
+    scene, lab = _scene(seed=6)
+    seg = _segmenter()
+    out = seg.predict_scene(scene)
+    patches = seg.export_patches(out, tmp_path / "output")
+    assert len(patches) == (64 // P) * (96 // P)
+    seg.export_map(out, tmp_path / "map.png")
+    stitched = np.asarray(Image.open(tmp_path / "map.png"))
+    np.testing.assert_array_equal(stitched, PALETTE[lab])
+    # tile 0 must be the top-left patch of the stitched map
+    t0 = np.asarray(Image.open(patches[0]))
+    np.testing.assert_array_equal(t0, stitched[:P, :P])

@@ -1,0 +1,137 @@
+"""Training subsystem tests: optimizer schedule parity vs torch, a 2-scene
+end-to-end smoke train (the reference's `debug: True` path, SURVEY §4),
+checkpoint/resume roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvcs_tpu.data.loader import ChunkLoader
+from cvcs_tpu.models import build_model
+from cvcs_tpu.ops.losses import build_loss
+from cvcs_tpu.train import (
+    TrainConfig, Trainer, build_optimizer, create_train_state,
+)
+from cvcs_tpu.train import checkpoint as ckpt_lib
+from cvcs_tpu.train.state import param_count
+
+PATCH = 32
+
+
+class TestOptim:
+    def test_polynomial_lr_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.006, momentum=0.9)
+        sched = torch.optim.lr_scheduler.PolynomialLR(opt, total_iters=20)
+        bundle = build_optimizer("SGD2")
+        for epoch in range(25):
+            assert bundle.lr_for_epoch(epoch) == pytest.approx(
+                opt.param_groups[0]["lr"], abs=1e-12), f"epoch {epoch}"
+            sched.step()
+
+    def test_adam1_needs_epochs(self):
+        with pytest.raises(ValueError):
+            build_optimizer("ADAM1")
+        b = build_optimizer("ADAM1", epochs=10)
+        assert b.lr_for_epoch(0) == pytest.approx(5e-3)
+        assert b.lr_for_epoch(10) == 0.0
+
+    def test_sgd_step_matches_torch(self):
+        """One net, same grads: our chain must reproduce torch SGD with
+        momentum + coupled weight decay, step for step."""
+        torch = pytest.importorskip("torch")
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        g = np.array([0.1, 0.2, -0.3], np.float32)
+
+        p = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.SGD([p], lr=1e-3, momentum=0.9, weight_decay=1e-5)
+        bundle = build_optimizer("SGD1")
+        params = jnp.asarray(w0)
+        opt_state = bundle.init(params)
+        for _ in range(3):
+            p.grad = torch.tensor(g)
+            opt.step()
+            updates, opt_state = bundle.tx.update(
+                jnp.asarray(g), opt_state, params)
+            params = params - 1e-3 * updates
+        np.testing.assert_allclose(
+            np.asarray(params), p.detach().numpy(), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def smoke_setup(tmp_path_factory):
+    # reuse the session dataset fixture by rebuilding a tiny root here
+    import tests.conftest as cf
+    from PIL import Image
+    from cvcs_tpu.data.palette import PALETTE
+
+    root = tmp_path_factory.mktemp("gid15_train")
+    for d in ("Image__8bit_NirRGB", "Annotation__index", "Annotation__color"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        image, mask = cf._make_scene(rng, (64, 96))
+        stem = f"s{i}"
+        Image.fromarray(image).save(root / "Image__8bit_NirRGB" / f"{stem}.png")
+        Image.fromarray(mask).save(
+            root / "Annotation__index" / f"{stem}_15label.png")
+        Image.fromarray(PALETTE[mask]).save(
+            root / "Annotation__color" / f"{stem}_15label.tif")
+    return root
+
+
+def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2):
+    loader = ChunkLoader(str(root), chunk_size=2, patch_size=PATCH,
+                         load_context=False, seed=0)
+    val_loader = ChunkLoader(str(root), chunk_size=2, patch_size=PATCH,
+                             load_context=False, seed=1)
+    model, spec = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    example = jnp.zeros((2, PATCH, PATCH, 3), jnp.uint8)
+    state = create_train_state(model, optimizer, example)
+    loss_fn = build_loss("CEL")
+    cfg = TrainConfig(
+        epochs=epochs, batch_size=2, checkpoint_directory=str(ckpt_dir),
+        freq=1, precision_evaluation_freq=eval_freq, num_classes=15)
+    return Trainer(model, spec, state, optimizer, loss_fn,
+                   loader, val_loader, cfg, log=lambda s: None)
+
+
+def test_end_to_end_smoke_train(smoke_setup, tmp_path):
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=2)
+    n_params = param_count(trainer.state.params)
+    assert n_params > 1e6  # UNet is ~31M at full width
+    trainer.train()
+    assert len(trainer.training_loss_values) == 2 * 6  # 2 epochs x 12 patches / bs 2
+    assert len(trainer.validation_loss_values) == 2 * 6
+    # loss must decrease on average between epochs
+    first = np.mean(trainer.training_loss_values[:6])
+    last = np.mean(trainer.training_loss_values[-6:])
+    assert last < first
+    # eval ran at epoch 2
+    assert trainer.last_metrics is not None
+    assert 0.0 <= trainer.last_metrics["oa_score"] <= 1.0
+    # checkpoints written every epoch
+    assert (tmp_path / "checkpoint1").is_dir()
+    assert (tmp_path / "checkpoint2").is_dir()
+
+
+def test_checkpoint_resume_roundtrip(smoke_setup, tmp_path):
+    t1 = _build_trainer(smoke_setup, tmp_path / "a", epochs=1, eval_freq=5)
+    (tmp_path / "a").mkdir(exist_ok=True)
+    t1.train()
+    ckpt = ckpt_lib.latest_checkpoint(tmp_path / "a")
+    assert ckpt is not None and ckpt.name == "checkpoint1"
+
+    t2 = _build_trainer(smoke_setup, tmp_path / "a", epochs=2, eval_freq=5)
+    t2.resume(ckpt)
+    assert t2.last_epoch == 1
+    assert t2.training_loss_values == t1.training_loss_values
+    # restored params identical
+    a = jax.tree_util.tree_leaves(t1.state.params)
+    b = jax.tree_util.tree_leaves(t2.state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    t2.train()  # continues to epoch 2 without error
+    assert ckpt_lib.latest_checkpoint(tmp_path / "a").name == "checkpoint2"
