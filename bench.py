@@ -1,0 +1,152 @@
+"""Headline benchmark: 512^2-equivalent tiles/sec/chip, train + inference.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+* ``train``: warm UNetv2 (flagship) train-step throughput, bs 8 @ 224^2
+  bf16, converted to 512^2-pixel-equivalent tiles/sec.
+* ``infer``: warm whole-scene sliding-window throughput (2048^2 scene,
+  p 224 / bc 256 border-corrected), same conversion.
+* headline ``value``: geometric mean of the two (the BASELINE.json metric
+  spans "train + sliding-window infer").
+* ``vs_baseline``: ratio against the reference implementation measured on
+  this machine's CPU (torch UNetv2 fwd+bwd, its only runnable path here —
+  `utils.py:277-278`); the measurement is cached in ``bench_baseline.json``
+  because it is slow, delete the file to re-measure.
+"""
+
+import json
+import os
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).parent
+BASELINE_CACHE = REPO / "bench_baseline.json"
+PATCH = 224
+SCALE_512 = (512 * 512) / (PATCH * PATCH)
+
+
+def measure_reference_baseline(steps: int = 3) -> dict:
+    """Torch-CPU UNetv2 train-step + forward throughput (tiles/sec)."""
+    import torch
+
+    torch.manual_seed(0)
+    from cvcs_tpu.utils.torch_ref import TorchUrnetv2  # reference-shaped UNetv2
+
+    net = TorchUrnetv2(16)
+    opt = torch.optim.SGD(net.parameters(), lr=6e-3, momentum=0.9)
+    crit = torch.nn.CrossEntropyLoss()
+    bs = 2
+    x = torch.rand(bs, 3, PATCH, PATCH)
+    y = torch.randint(0, 16, (bs, PATCH, PATCH))
+    # warmup
+    loss = crit(net(x), y)
+    loss.backward()
+    opt.step()
+    t0 = time.time()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = crit(net(x), y)
+        loss.backward()
+        opt.step()
+    train_tps = bs * steps / (time.time() - t0) / SCALE_512
+
+    with torch.no_grad():
+        net.eval()
+        net(x)
+        t0 = time.time()
+        for _ in range(steps):
+            net(x)
+        infer_tps = bs * steps / (time.time() - t0) / SCALE_512
+    return {"train_512_tps": train_tps, "infer_512_tps": infer_tps,
+            "hardware": "host CPU (torch, reference device:cpu path)"}
+
+
+def get_baseline() -> dict:
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    base = measure_reference_baseline()
+    BASELINE_CACHE.write_text(json.dumps(base))
+    return base
+
+
+def bench_train(steps: int = 20, bs: int = 8) -> float:
+    from cvcs_tpu.models import build_model
+    from cvcs_tpu.ops.losses import build_loss
+    from cvcs_tpu.train import build_optimizer, create_train_state
+    from cvcs_tpu.train.step import make_train_step
+
+    model, spec = build_model("Unetv2", 16)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
+    train_step = make_train_step(build_loss("CEL"))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 256, (bs, PATCH, PATCH, 3), np.uint8))
+    mask = jnp.asarray(rng.integers(0, 16, (bs, PATCH, PATCH), np.int32))
+    ctx = jnp.zeros((), jnp.uint8)
+    key = jax.random.key(0)
+    state, loss = train_step(state, image, mask, ctx, jnp.float32(6e-3), key)
+    jax.block_until_ready(loss)  # compile + warmup
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = train_step(state, image, mask, ctx,
+                                 jnp.float32(6e-3), key)
+    jax.block_until_ready(loss)
+    return bs * steps / (time.time() - t0) / SCALE_512
+
+
+def bench_infer(scene_px: int = 2048) -> float:
+    from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
+    from cvcs_tpu.models import build_model
+
+    model, spec = build_model("Unetv2", 16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 256, 256, 3), jnp.float32), train=False)
+    seg = SceneSegmenter(
+        model.apply, variables,
+        InferenceConfig(patch_size=PATCH, border_correction=256,
+                        batch_tiles=16, num_classes=16),
+        returns_logits=spec.returns_logits)
+    rng = np.random.default_rng(1)
+    scene = rng.integers(0, 256, (scene_px, scene_px, 3), np.uint8)
+    labels = seg.predict_scene(scene)
+    jax.block_until_ready(labels)  # compile + warmup
+    n_tiles = (scene_px // PATCH) ** 2
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        labels = seg.predict_scene(scene)
+    jax.block_until_ready(labels)
+    return n_tiles * reps / (time.time() - t0) / SCALE_512
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    train_tps = bench_train()
+    infer_tps = bench_infer()
+    value = float(np.sqrt(train_tps * infer_tps))
+    base = get_baseline()
+    base_value = float(np.sqrt(
+        base["train_512_tps"] * base["infer_512_tps"]))
+    print(json.dumps({
+        "metric": "512sq-tile throughput per chip (geomean train+infer)",
+        "value": round(value, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(value / base_value, 2),
+        "train_tiles_per_s": round(train_tps, 3),
+        "infer_tiles_per_s": round(infer_tps, 3),
+        "baseline_tiles_per_s": round(base_value, 3),
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

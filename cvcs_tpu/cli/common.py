@@ -1,0 +1,108 @@
+"""Shared CLI plumbing: device/mesh selection, model construction from a
+config dict, checkpoint restore for eval/predict, ensemble assembly."""
+
+from __future__ import annotations
+
+import contextlib
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from cvcs_tpu.core.mesh import MeshConfig, create_mesh
+from cvcs_tpu.core.precision import policy_from_config
+from cvcs_tpu.models import build_model
+from cvcs_tpu.models.ensemble import Ensemble, EnsembleMember
+from cvcs_tpu.train import checkpoint as ckpt_lib
+
+
+def device_context(config: dict):
+    """The reference picks cuda:0 vs cpu from config['device']
+    (`utils.py:273-280`). Here 'cpu' forces the host backend (its debug
+    path); anything else uses the default (TPU) backend."""
+    if config.get("device") == "cpu":
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
+
+
+def mesh_from_config(config: dict):
+    m = config.get("mesh") or {}
+    if not m:
+        return None
+    return create_mesh(MeshConfig(data=m.get("data"),
+                                  spatial=m.get("spatial", 1)))
+
+
+def model_dtypes(config: dict) -> dict:
+    policy = policy_from_config(config.get("precision"))
+    return dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+
+
+def build_net(config: dict):
+    """Model + spec from config names; like the reference, builds with
+    num_classes + 1 for background (`utils.py:176`)."""
+    name = config["net"]
+    num_classes = int(config.get("num_classes", 15)) + 1
+    model, spec = build_model(name, num_classes, **model_dtypes(config))
+    return model, spec, num_classes
+
+
+def init_variables(model, patch_size: int, in_channels: int = 3, seed: int = 0):
+    example = jnp.zeros((1, patch_size, patch_size, in_channels), jnp.uint8)
+
+    def init_fn(key):
+        return model.init({"params": key, "dropout": jax.random.fold_in(key, 1)},
+                          example, train=False)
+
+    return jax.jit(init_fn)(jax.random.key(seed))
+
+
+def restore_variables(config: dict, model, patch_size: int):
+    """Initialize then (optionally) overwrite from config['load_checkpoint']."""
+    variables = init_variables(model, patch_size)
+    ckpt = config.get("load_checkpoint")
+    if ckpt:
+        variables = ckpt_lib.load_model_variables(
+            ckpt, {"params": variables["params"],
+                   "batch_stats": variables.get("batch_stats", {})})
+        print(f"Loaded checkpoint {ckpt}", flush=True)
+    return variables
+
+
+def build_ensemble(config: dict, patch_size: int) -> Ensemble:
+    """Assemble the majority-vote ensemble from an ensemble config file:
+    a YAML mapping net-name -> checkpoint (reference `utils.py:488-496`,
+    `configs/ensemble/test.yaml`)."""
+    import yaml
+
+    path = config.get("ensemble_config")
+    if not path:
+        raise ValueError(
+            "To use the ensemble specify 'ensemble_config' in your "
+            "evaluation configuration file.")
+    with open(path) as f:
+        members_cfg = yaml.safe_load(f)
+    num_classes = int(config.get("num_classes", 15)) + 1
+    members = []
+    for net_name, ckpt in members_cfg.items():
+        m_config = dict(config, net=net_name, load_checkpoint=ckpt)
+        model, spec, _ = build_net(m_config)
+        variables = restore_variables(m_config, model, patch_size)
+
+        def apply(image, context=None, _m=model, _v=variables):
+            return _m.apply(_v, image.astype(jnp.float32), context=context,
+                            train=False)
+
+        members.append(EnsembleMember(net_name, apply,
+                                      returns_logits=spec.returns_logits))
+    return Ensemble(members, num_classes)
+
+
+def resolve_config_arg(argv) -> dict:
+    from cvcs_tpu.config import display_configs, load_yaml
+
+    if len(argv) < 2:
+        raise SystemExit(f"usage: {Path(argv[0]).name} <config.yaml>")
+    config = load_yaml(argv[1])
+    display_configs(config)
+    return config

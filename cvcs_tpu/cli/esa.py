@@ -1,0 +1,55 @@
+"""``python -m cvcs_tpu.cli.esa <config.yaml>`` — the reference's `esa.py`
+capability: run a trained net on arbitrary-size external imagery (its
+hardcoded example is an ESA Modena PNG at patch 512, `esa.py:20-26`), no
+ground truth, no border correction, stitched color output.
+
+Config keys: ``image`` (path to any RGB raster), ``net``,
+``load_checkpoint``, ``patch_size`` (default 512 like the reference),
+``out_image`` (default ``output_esa.png``), optional ``output`` dir for
+per-patch PNGs and ``border_correction`` (the reference lacks it; here it
+is available cross-domain too)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from cvcs_tpu.cli import common
+from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
+
+
+def run(config: dict) -> None:
+    from PIL import Image
+
+    Image.MAX_IMAGE_PIXELS = None
+    image = np.asarray(Image.open(config["image"]).convert("RGB"))
+    p = int(config.get("patch_size", 512))
+
+    model, spec, num_classes = common.build_net(config)
+    variables = common.restore_variables(config, model, p)
+    seg = SceneSegmenter(
+        model.apply, variables,
+        InferenceConfig(
+            patch_size=p,
+            border_correction=config.get("border_correction"),
+            batch_tiles=int(config.get("batch_tiles", 4)),
+            num_classes=num_classes),
+        returns_logits=spec.returns_logits)
+
+    labels = seg.predict_scene(image)
+    if config.get("output"):
+        seg.export_patches(labels, config["output"])
+    seg.export_map(labels, config.get("out_image", "output_esa.png"))
+    print(f"Wrote {config.get('out_image', 'output_esa.png')}", flush=True)
+
+
+def main(argv=None) -> int:
+    config = common.resolve_config_arg(argv or sys.argv)
+    with common.device_context(config):
+        run(config)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

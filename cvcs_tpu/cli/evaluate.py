@@ -1,0 +1,87 @@
+"""``python -m cvcs_tpu.cli.evaluate <config.yaml>`` — the reference's
+`evaluation.py` surface: confusion-matrix evaluation of a checkpoint over a
+dataset (chunk size 1, no shift), metric report, confusion-heatmap and
+class-prior plots (`evaluation.py:1-33`). Supports ``net: Ensemble`` with
+an ``ensemble_config`` member file."""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+
+from cvcs_tpu.cli import common
+from cvcs_tpu.config.loader import EVAL_KEYS, validate_keys
+from cvcs_tpu.data.loader import ChunkLoader
+from cvcs_tpu.metrics import confusion as conf_lib
+from cvcs_tpu.metrics import scores
+
+
+def evaluate(config: dict) -> dict:
+    validate_keys(config, EVAL_KEYS,
+                  {"dataset", "net", "patch_size"}, "evaluation")
+    loader = ChunkLoader(
+        config["dataset"], chunk_size=1,
+        patch_size=config["patch_size"],
+        load_context=bool(config.get("load_context")),
+        seed=0)
+    if config.get("images"):
+        loader.specify(config["images"])
+
+    num_classes = int(config.get("num_classes", 15)) + 1
+    batch_size = int(config.get("batch_size", 8))
+    ignore = 0 if config.get("ignore_background") else None
+
+    if config["net"] == "Ensemble":
+        ens = common.build_ensemble(config, config["patch_size"])
+
+        def predict(image, context):
+            return ens(image.astype(jnp.float32), context)
+    else:
+        model, spec, _ = common.build_net(config)
+        variables = common.restore_variables(config, model,
+                                             config["patch_size"])
+        import jax
+
+        @jax.jit
+        def predict(image, context):
+            out = model.apply(variables, image.astype(jnp.float32),
+                              context=context, train=False)
+            if spec.returns_logits:
+                out = jnp.argmax(out, axis=-1)
+            return out.astype(jnp.int32)
+
+    host = conf_lib.HostConfusion(num_classes)
+    for c in range(len(loader)):
+        chunk = loader.get_chunk(c, shuffle_patches=False)
+        conf = conf_lib.confusion_matrix(num_classes)
+        for batch in chunk.batches(batch_size, drop_last=False):
+            pred = predict(batch.image, batch.context)
+            mask = batch.mask
+            if batch.valid is not None:
+                mask = jnp.where(batch.valid[:, None, None], mask,
+                                 num_classes + 1)
+            conf = conf_lib.update_confusion(
+                conf, pred, mask, num_classes=num_classes,
+                ignore_index=ignore)
+        host.fold(conf)
+
+    metrics = scores.print_metrics(host.total)
+    if config.get("confusion_matrix"):
+        from cvcs_tpu.metrics.plots import plot_confusion
+        plot_confusion(host.normalized(), config["confusion_matrix"])
+    if config.get("priors"):
+        from cvcs_tpu.metrics.plots import plot_priors
+        plot_priors(host.total, config["priors"])
+    return metrics
+
+
+def main(argv=None) -> int:
+    config = common.resolve_config_arg(argv or sys.argv)
+    with common.device_context(config):
+        evaluate(config)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

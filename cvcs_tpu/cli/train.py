@@ -1,0 +1,118 @@
+"""``python -m cvcs_tpu.cli.train <config.yaml>`` — the reference's
+`train.py` surface: chunked training with augmentation, class-balanced
+loss, per-epoch validation, periodic confusion-matrix evaluation,
+checkpoint/resume (`train.py:1-169`)."""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import jax.numpy as jnp
+
+from cvcs_tpu.cli import common
+from cvcs_tpu.config.loader import TRAIN_KEYS, validate_keys
+from cvcs_tpu.data.augment import AugmentConfig
+from cvcs_tpu.data.loader import ChunkLoader
+from cvcs_tpu.ops.losses import build_loss
+from cvcs_tpu.train import (
+    TrainConfig, Trainer, build_optimizer, create_train_state,
+)
+from cvcs_tpu.train.state import param_count
+from cvcs_tpu.utils.tables import get_table_cls
+
+
+def build_trainer(config: dict) -> Trainer:
+    validate_keys(config, TRAIN_KEYS,
+                  {"train", "validation", "net", "epochs", "chunk_size",
+                   "patch_size", "batch_size", "loss", "opt",
+                   "checkpoint_directory"}, "train")
+    augment = AugmentConfig() if config.get("augmentation") else None
+    seed = int(config.get("seed", 0))
+    loader_train = ChunkLoader(
+        config["train"], config["chunk_size"],
+        patch_size=config["patch_size"],
+        random_shift=bool(config.get("random_shift")),
+        augment=augment,
+        load_context=bool(config.get("load_context")),
+        seed=seed)
+    loader_val = ChunkLoader(
+        config["validation"],
+        config.get("validation_chunk_size", config["chunk_size"]),
+        patch_size=config["patch_size"],
+        load_context=bool(config.get("load_context")),
+        seed=seed + 1)
+    if config.get("debug"):
+        # debug: 2 train scenes / 1 validation scene (`train.py:33-35`)
+        loader_train.specify([0, 1])
+        loader_val.specify([0])
+
+    model, spec, num_classes = common.build_net(config)
+    optimizer = build_optimizer(config["opt"], epochs=config["epochs"])
+
+    t = get_table_cls()(["Name", "Value"])
+    example = jnp.zeros(
+        (config["batch_size"], config["patch_size"], config["patch_size"], 3),
+        jnp.uint8)
+    example_ctx = example if spec.requires_context else None
+    state = create_train_state(model, optimizer, example, example_ctx,
+                               seed=seed)
+    t.add_row(["parameters", param_count(state.params)])
+    t.add_row(["Patch size", loader_train.patch_size])
+    t.add_row(["Tpe", loader_train.tpi])
+    t.add_row(["Training patches",
+               len(loader_train.idxs) * loader_train.tpi])
+    t.add_row(["Validation patches",
+               len(loader_val.idxs) * loader_val.tpi])
+    print(t, flush=True)
+
+    weights = None
+    if config["loss"] == "wCEL":
+        print("Computing class weights, it might take several minutes...",
+              flush=True)
+        weights = loader_train.class_weights(
+            num_classes, bool(config.get("ignore_background")))
+        from cvcs_tpu.data.palette import LABELS
+        wt = get_table_cls()(["Class", "Weight"])
+        for i, w in enumerate(weights):
+            wt.add_row([LABELS.get(i, str(i)), float(w)])
+        print(wt, flush=True)
+    loss_fn = build_loss(config["loss"], weights=weights,
+                         ignore_background=bool(
+                             config.get("ignore_background")))
+
+    train_cfg = TrainConfig(
+        epochs=config["epochs"],
+        batch_size=config["batch_size"],
+        checkpoint_directory=config["checkpoint_directory"],
+        freq=config.get("freq", 1),
+        precision_evaluation_freq=config.get("precision_evaluation_freq", 10),
+        num_classes=int(config.get("num_classes", 15)),
+        ignore_background=bool(config.get("ignore_background")),
+        random_tps=config.get("random_tps"),
+        verbose=bool(config.get("verbose")),
+        seed=seed)
+
+    trainer = Trainer(model, spec, state, optimizer, loss_fn,
+                      loader_train, loader_val, train_cfg,
+                      mesh=common.mesh_from_config(config))
+    if config.get("load_checkpoint"):
+        trainer.resume(config["load_checkpoint"])
+    return trainer
+
+
+def main(argv=None) -> int:
+    config = common.resolve_config_arg(argv or sys.argv)
+    with common.device_context(config):
+        try:
+            trainer = build_trainer(config)
+        except Exception:
+            traceback.print_exc()
+            print("Error in setting up training.")
+            return 1
+        trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -121,6 +121,33 @@ def load_checkpoint(path: str | Path, state):
     return new_state, meta
 
 
+def load_model_variables(path: str | Path, template: dict) -> dict:
+    """Restore only model variables (params + batch_stats) for
+    evaluation/inference — the reference's `utils.load_checkpoint`
+    eval-side use (`utils.py:282-299`). ``template`` is a freshly
+    initialized ``{"params": ..., "batch_stats": ...}``."""
+    path = Path(path)
+    raw = ocp.PyTreeCheckpointer().restore((path / "state").absolute())
+    out = {}
+    for key in ("params", "batch_stats"):
+        sub_t = template.get(key, {})
+        sub_r = raw.get(key, {})
+        t_leaves = jax.tree_util.tree_leaves(sub_t)
+        r_leaves = jax.tree_util.tree_leaves(sub_r)
+        if len(t_leaves) != len(r_leaves):
+            raise ValueError(
+                f"checkpoint {path} '{key}' has {len(r_leaves)} leaves, "
+                f"expected {len(t_leaves)}")
+        placed = [
+            jax.device_put(jnp_leaf_cast(lv, tv), tv.sharding)
+            if isinstance(tv, jax.Array) else lv
+            for lv, tv in zip(r_leaves, t_leaves)
+        ]
+        out[key] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(sub_t), placed)
+    return out
+
+
 def latest_checkpoint(directory: str | Path) -> Path | None:
     """Highest-numbered ``checkpoint{N}`` under ``directory``, or None."""
     directory = Path(directory)

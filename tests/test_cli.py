@@ -1,0 +1,137 @@
+"""CLI end-to-end tests: the reference's four entry scripts, driven through
+YAML configs on the synthetic dataset (SURVEY §4 smoke-test strategy)."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.conftest import NUM_SCENES, PATCH
+
+
+def _write_cfg(path, cfg):
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(gid15_root, tmp_path_factory):
+    """Train 1 epoch of a tiny Unet through the train CLI; return ckpt dir."""
+    from cvcs_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path_factory.mktemp("ckpts")
+    cfg_path = tmp_path_factory.mktemp("cfg") / "train.yaml"
+    cfg = dict(
+        train=str(gid15_root), validation=str(gid15_root),
+        net="Unet", epochs=1, chunk_size=2, validation_chunk_size=2,
+        patch_size=PATCH, batch_size=4, loss="CEL", opt="SGD2",
+        checkpoint_directory=str(ckpt_dir), freq=1,
+        precision_evaluation_freq=1, num_classes=15,
+        precision="f32", load_context=False, random_shift=True,
+        augmentation=True, debug=True, verbose=True,
+    )
+    rc = train_cli.main(["train", _write_cfg(cfg_path, cfg)])
+    assert rc == 0
+    return ckpt_dir / "checkpoint1"
+
+
+def test_train_cli_writes_checkpoint(trained_ckpt):
+    assert trained_ckpt.is_dir()
+    meta = json.loads((trained_ckpt / "meta.json").read_text())
+    assert meta["epoch"] == 0
+    assert meta["optimizer"] == "SGD2"
+    assert len(meta["training_loss_values"]) > 0
+
+
+def test_train_cli_resume(trained_ckpt, gid15_root, tmp_path):
+    from cvcs_tpu.cli import train as train_cli
+
+    cfg = dict(
+        train=str(gid15_root), validation=str(gid15_root),
+        net="Unet", epochs=2, chunk_size=2, validation_chunk_size=2,
+        patch_size=PATCH, batch_size=4, loss="CEL", opt="SGD2",
+        checkpoint_directory=str(trained_ckpt.parent), freq=1,
+        precision_evaluation_freq=5, num_classes=15,
+        precision="f32", load_context=False, debug=True,
+        load_checkpoint=str(trained_ckpt),
+    )
+    rc = train_cli.main(["train", _write_cfg(tmp_path / "resume.yaml", cfg)])
+    assert rc == 0
+    assert (trained_ckpt.parent / "checkpoint2").is_dir()
+
+
+def test_evaluate_cli(trained_ckpt, gid15_root, tmp_path):
+    from cvcs_tpu.cli import evaluate as eval_cli
+
+    conf_png = tmp_path / "conf.png"
+    priors_png = tmp_path / "priors.png"
+    cfg = dict(
+        dataset=str(gid15_root), net="Unet", patch_size=PATCH,
+        num_classes=15, precision="f32",
+        load_checkpoint=str(trained_ckpt),
+        images=[0], confusion_matrix=str(conf_png), priors=str(priors_png),
+    )
+    metrics = eval_cli.evaluate(
+        yaml.safe_load(yaml.safe_dump(cfg)))
+    assert 0.0 <= metrics["oa_score"] <= 1.0
+    assert conf_png.stat().st_size > 0 and priors_png.stat().st_size > 0
+
+
+def test_evaluate_cli_ensemble(trained_ckpt, gid15_root, tmp_path):
+    from cvcs_tpu.cli import evaluate as eval_cli
+
+    members = tmp_path / "ensemble.yaml"
+    members.write_text(yaml.safe_dump({"Unet": str(trained_ckpt)}))
+    cfg = dict(
+        dataset=str(gid15_root), net="Ensemble", patch_size=PATCH,
+        num_classes=15, precision="f32", ensemble_config=str(members),
+        images=[0],
+    )
+    metrics = eval_cli.evaluate(cfg)
+    assert 0.0 <= metrics["oa_score"] <= 1.0
+
+
+def test_predict_cli(trained_ckpt, gid15_root, tmp_path, monkeypatch):
+    from cvcs_tpu.cli import predict as predict_cli
+    from cvcs_tpu.data.geometry import TileGrid
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = SceneDataset(str(gid15_root))
+    tpi = TileGrid(ds.image_shape, PATCH).tiles_per_image
+    out_dir = tmp_path / "output"
+    out_map = tmp_path / "map.png"
+    cfg = dict(
+        dataset=str(gid15_root), net="Unet", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        load_checkpoint=str(trained_ckpt),
+        range=[0, tpi], mask_only=True, out_image=str(out_map),
+        output=str(out_dir),
+    )
+    predict_cli.predict(cfg)
+    assert out_map.stat().st_size > 0
+    assert len(list(out_dir.glob("*.png"))) == tpi
+    # patch 0 of the stitched map equals 0.png (reference tile contract)
+    from PIL import Image
+    stitched = np.asarray(Image.open(out_map))
+    t0 = np.asarray(Image.open(out_dir / "0.png"))
+    np.testing.assert_array_equal(t0, stitched[:PATCH, :PATCH])
+
+
+def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
+    from PIL import Image
+
+    from cvcs_tpu.cli import esa as esa_cli
+
+    # arbitrary-size external image (not tile-aligned)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (PATCH * 2 + 7, PATCH * 3 + 3, 3), np.uint8)
+    src = tmp_path / "modena.png"
+    Image.fromarray(img).save(src)
+    out = tmp_path / "esa_out.png"
+    cfg = dict(image=str(src), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32",
+               load_checkpoint=str(trained_ckpt), out_image=str(out))
+    esa_cli.run(cfg)
+    got = np.asarray(Image.open(out))
+    assert got.shape == (PATCH * 2, PATCH * 3, 3)
