@@ -58,7 +58,11 @@ class TorchUrnetv2(nn.Module):
             x = enc(x)
             skips.append(x)
         y = skips[-1]
-        for up, dec, skip in zip(self.ups, self.decs, skips[-2::-1]):
+        for i, (up, dec, skip) in enumerate(
+                zip(self.ups, self.decs, skips[-2::-1])):
             y = up(y)
-            y = dec(torch.cat([skip, y], dim=1))
+            # the reference concatenates upsampled-first at the 3rd decode
+            # level only (`nets.py:193`), skip-first elsewhere
+            pair = [y, skip] if i == 2 else [skip, y]
+            y = dec(torch.cat(pair, dim=1))
         return self.head(y)

@@ -13,10 +13,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The machine's sitecustomize additionally calls
 # jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
-# overriding the env var — undo it before any backend initializes.
+# overriding the env var — undo it before any backend initializes. For the
+# same reason (jax is already imported when conftest runs) the cache env
+# vars above are set too late, so mirror them through jax.config.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 # Persistent compilation cache: model-zoo tests are compile-bound, repeat
 # runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")

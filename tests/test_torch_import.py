@@ -1,0 +1,145 @@
+"""Torch -> JAX weight import + architecture parity tests.
+
+Each test builds the *torch* twin (torchvision / HF constructible offline
+with random weights), imports its state dict, and compares eval-mode
+outputs numerically — simultaneously validating the importer and that our
+flax architectures match the reference's structure operator-for-operator
+(SURVEY §7 hard part (b))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from cvcs_tpu.models import build_model  # noqa: E402
+from cvcs_tpu.utils import torch_import  # noqa: E402
+from cvcs_tpu.utils.torch_ref import TorchUrnetv2  # noqa: E402
+
+F32 = dict(dtype=jnp.float32)
+
+
+def _twin_to_reference_names(twin: TorchUrnetv2) -> dict:
+    """Rename our torch twin's keys to the reference's checkpoint naming
+    (`nets.py:117-199`): encode{1-5}.{i}.layer.{j}, upscale{k}.0,
+    decode_forward{k}.0.layer.{j}, decode_forward4.1."""
+    sd = twin.state_dict()
+    out = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if parts[0] == "encoders":
+            level, j = int(parts[1]), int(parts[2])
+            off = j if level == 0 else j + 1   # maxpool occupies slot 0
+            out[f"encode{level + 1}.{off}.layer.{parts[3]}."
+                + ".".join(parts[4:])] = value
+        elif parts[0] == "ups":
+            out[f"upscale{int(parts[1]) + 1}.0." + ".".join(parts[2:])] = value
+        elif parts[0] == "decs":
+            out[f"decode_forward{int(parts[1]) + 1}.0.layer."
+                + ".".join(parts[2:])] = value
+        elif parts[0] == "head":
+            out["decode_forward4.1." + ".".join(parts[1:])] = value
+        else:  # pragma: no cover
+            raise KeyError(key)
+    return out
+
+
+def _apply_eval(model, variables, x_nhwc):
+    return np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(x_nhwc)))
+
+
+def test_unetv2_reference_checkpoint_parity():
+    torch.manual_seed(0)
+    twin = TorchUrnetv2(16).eval()
+    sd = _twin_to_reference_names(twin)
+    variables = torch_import.import_unet(sd, upsample="transpose")
+
+    model, _ = build_model("Unetv2", 16, **F32)
+    x = np.random.default_rng(0).random((1, 32, 32, 3), np.float32)
+    ours = _apply_eval(model, variables, x)
+    with torch.no_grad():
+        theirs = twin(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3)
+
+
+def test_strip_prefixes_matches_custom_load():
+    sd = {"module.conv.weight": 1, "other": 2}
+    out = torch_import.strip_prefixes(sd, "Resnet101")
+    assert "conv.weight" in out and "other" in out
+    sd2 = {"module.backbone.0.weight": 3}
+    out2 = torch_import.strip_prefixes(sd2, "MobileNet")
+    assert "model.backbone.0.weight" in out2
+
+
+@pytest.mark.slow
+def test_deeplab_resnet50_torchvision_parity():
+    tv = pytest.importorskip("torchvision")
+    torch.manual_seed(1)
+    ref = tv.models.segmentation.deeplabv3_resnet50(
+        weights=None, weights_backbone=None, num_classes=16).eval()
+    variables = torch_import.import_deeplab(ref.state_dict(), "resnet50")
+    model, _ = build_model("Resnet50", 16, **F32)
+    x = np.random.default_rng(1).random((1, 64, 64, 3), np.float32)
+    ours = _apply_eval(model, variables, x)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x.transpose(0, 3, 1, 2)))["out"].numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_deeplab_mobilenet_torchvision_parity():
+    tv = pytest.importorskip("torchvision")
+    torch.manual_seed(2)
+    ref = tv.models.segmentation.deeplabv3_mobilenet_v3_large(
+        weights=None, weights_backbone=None, num_classes=16).eval()
+    variables = torch_import.import_deeplab(ref.state_dict(), "mobilenet")
+    model, _ = build_model("MobileNet", 16, **F32)
+    x = np.random.default_rng(2).random((1, 64, 64, 3), np.float32)
+    ours = _apply_eval(model, variables, x)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x.transpose(0, 3, 1, 2)))["out"].numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_segformer_hf_parity():
+    transformers = pytest.importorskip("transformers")
+    torch.manual_seed(3)
+    depths = (1, 1, 1, 1)
+    hidden = (8, 16, 32, 64)
+    cfg = transformers.SegformerConfig(
+        num_encoder_blocks=4, depths=list(depths),
+        hidden_sizes=list(hidden), num_attention_heads=[1, 2, 4, 8],
+        sr_ratios=[8, 4, 2, 1], decoder_hidden_size=32, num_labels=16)
+    ref = transformers.SegformerForSemanticSegmentation(cfg).eval()
+    # the reference wraps this + a learned tail; test the HF core here
+    variables = torch_import.import_segformer(ref.state_dict(),
+                                              depths=depths)
+
+    from cvcs_tpu.models.segformer import MiTConfig, MiTEncoder, SegFormerHead
+    import flax.linen as nn
+
+    class Core(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            feats = MiTEncoder(
+                MiTConfig(depths, hidden, (1, 2, 4, 8), decoder_dim=32),
+                dtype=jnp.float32)(x)
+            return SegFormerHead(16, 32, dtype=jnp.float32)(feats, train)
+
+    model = Core()
+    x = np.random.default_rng(3).random((1, 64, 64, 3), np.float32)
+    ours = np.asarray(jax.jit(
+        lambda v, a: model.apply(v, a, train=False))(
+            variables, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x.transpose(0, 3, 1, 2))).logits.numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
