@@ -91,7 +91,8 @@ def build_trainer(config: dict) -> Trainer:
         ignore_background=bool(config.get("ignore_background")),
         random_tps=config.get("random_tps"),
         verbose=bool(config.get("verbose")),
-        seed=seed)
+        seed=seed,
+        debug_plot=bool(config.get("debug_plot")))
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

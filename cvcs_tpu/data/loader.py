@@ -187,6 +187,10 @@ class ChunkLoader:
         """Materialize chunk ``c`` on device (reference
         `Loader.get_iterable_chunk`, `dataset.py:293-313`)."""
         scene_ids = self.chunks[c]
+        # queue background decode of the NEXT chunk's rasters (native C++
+        # prefetch thread) so its I/O overlaps this chunk's device compute
+        if c + 1 < len(self.chunks):
+            self.dataset.prefetch(self.chunks[c + 1])
         pad = self._pad()
         images, masks = self._load_scene_stack(scene_ids, pad)
 

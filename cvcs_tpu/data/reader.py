@@ -68,9 +68,33 @@ class SceneDataset:
             self._shape = (img.shape[0], img.shape[1])
         return self._shape
 
+    def _decode(self, path) -> np.ndarray:
+        """Native C++ decoder (libpng + background prefetch thread,
+        :mod:`cvcs_tpu.native`) with PIL fallback."""
+        if str(path).lower().endswith(".png"):
+            from cvcs_tpu import native
+
+            arr = native.take(path)
+            if arr is not None:
+                return arr
+        return np.asarray(Image.open(path))
+
+    def prefetch(self, scene_ids) -> None:
+        """Queue background decodes of the given scenes' rasters so the
+        next chunk's I/O overlaps device compute (no-op without the
+        native library)."""
+        from cvcs_tpu import native
+
+        for i in scene_ids:
+            if str(self.image_paths[i]).lower().endswith(".png"):
+                native.prefetch(self.image_paths[i])
+            p = self.index_mask_path(i)
+            if str(p).lower().endswith(".png"):
+                native.prefetch(p)
+
     def load_image(self, i: int) -> np.ndarray:
         """Scene image as (H, W, C) uint8."""
-        arr = np.asarray(Image.open(self.image_paths[i]))
+        arr = self._decode(self.image_paths[i])
         if arr.ndim == 2:
             arr = arr[..., None]
         return arr
@@ -78,7 +102,7 @@ class SceneDataset:
     def load_index_mask(self, i: int) -> np.ndarray:
         """Index mask as (H, W) uint8. 3-channel masks collapse to channel 0
         (the reference's `mask_reshape`, `utils.py:557-567`)."""
-        arr = np.asarray(Image.open(self.index_mask_path(i)))
+        arr = self._decode(self.index_mask_path(i))
         if arr.ndim == 3:
             arr = arr[..., 0]
         return arr

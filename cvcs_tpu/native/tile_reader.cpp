@@ -1,0 +1,200 @@
+// Native scene decoder + async prefetcher for the data layer.
+//
+// The reference decodes every scene on the Python hot path with PIL
+// (reference dataset.py:200-218 — SURVEY §3.1 flags chunk construction as
+// the I/O hot spot). This library moves decoding to C++ (libpng, no Python
+// object churn) and adds a background prefetch thread so the *next*
+// chunk's scenes decode while the accelerator trains on the current one —
+// the runtime tier the reference delegates entirely to PyTorch.
+//
+// Exposed C ABI (consumed by cvcs_tpu/native/__init__.py via ctypes):
+//   tr_decode_png(path, out_buf, buf_len, &w, &h, &c) -> 0 on success
+//   tr_png_info(path, &w, &h, &c)                     -> 0 on success
+//   tr_prefetch(path)          enqueue background decode into the cache
+//   tr_take(path, out, len, &w, &h, &c)  blocking fetch (decodes inline on
+//                               miss), removes the entry from the cache
+//   tr_cache_size()            entries currently cached
+//
+// Single worker thread by design: the box is 1-core, the win is overlap
+// with device compute, not parallel decode.
+
+#include <png.h>
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  uint32_t w = 0, h = 0, c = 0;
+  std::vector<uint8_t> data;
+  bool ok = false;
+};
+
+Image decode_png_file(const char* path) {
+  Image img;
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return img;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    std::fclose(fp);
+    return img;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  // normalize to 8-bit, expand palettes, keep channel count otherwise
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_read_update_info(png, info);
+
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  const uint32_t channels = png_get_channels(png, info);
+  img.w = w;
+  img.h = h;
+  img.c = channels;
+  img.data.resize(rowbytes * h);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 r = 0; r < h; ++r) rows[r] = img.data.data() + r * rowbytes;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  img.ok = true;
+  return img;
+}
+
+class Prefetcher {
+ public:
+  Prefetcher() : worker_(&Prefetcher::run, this) {}
+
+  void prefetch(const std::string& path) {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (cache_.count(path) || pending_.count(path)) return;
+    pending_.insert({path, true});
+    queue_.push_back(path);
+    cv_.notify_one();
+  }
+
+  Image take(const std::string& path) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (!cache_.count(path) && !pending_.count(path)) {
+      lk.unlock();
+      return decode_png_file(path.c_str());  // cold miss: decode inline
+    }
+    cv_done_.wait(lk, [&] { return cache_.count(path) > 0; });
+    Image img = std::move(cache_[path]);
+    cache_.erase(path);
+    return img;
+  }
+
+  size_t size() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return cache_.size();
+  }
+
+ private:
+  void run() {
+    for (;;) {
+      std::string path;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return !queue_.empty(); });
+        path = queue_.front();
+        queue_.pop_front();
+      }
+      Image img = decode_png_file(path.c_str());
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        cache_[path] = std::move(img);
+        pending_.erase(path);
+      }
+      cv_done_.notify_all();
+    }
+  }
+
+  std::mutex mu_;
+  std::condition_variable cv_, cv_done_;
+  std::deque<std::string> queue_;
+  std::map<std::string, Image> cache_;
+  std::map<std::string, bool> pending_;
+  std::thread worker_;
+};
+
+Prefetcher& prefetcher() {
+  static Prefetcher* p = new Prefetcher();  // leaked on purpose: detached
+  return *p;
+}
+
+int copy_out(const Image& img, uint8_t* out, int64_t out_len, uint32_t* w,
+             uint32_t* h, uint32_t* c) {
+  if (!img.ok) return -1;
+  *w = img.w;
+  *h = img.h;
+  *c = img.c;
+  const int64_t need = static_cast<int64_t>(img.data.size());
+  if (out_len < need) return static_cast<int>(need > 0 ? -2 : -1);
+  std::memcpy(out, img.data.data(), need);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int tr_png_info(const char* path, uint32_t* w, uint32_t* h, uint32_t* c) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    std::fclose(fp);
+    return -1;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  *c = png_get_channels(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+int tr_decode_png(const char* path, uint8_t* out, int64_t out_len,
+                  uint32_t* w, uint32_t* h, uint32_t* c) {
+  return copy_out(decode_png_file(path), out, out_len, w, h, c);
+}
+
+void tr_prefetch(const char* path) { prefetcher().prefetch(path); }
+
+int tr_take(const char* path, uint8_t* out, int64_t out_len, uint32_t* w,
+            uint32_t* h, uint32_t* c) {
+  return copy_out(prefetcher().take(path), out, out_len, w, h, c);
+}
+
+int64_t tr_cache_size() {
+  return static_cast<int64_t>(prefetcher().size());
+}
+
+}  // extern "C"

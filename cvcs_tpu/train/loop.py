@@ -48,6 +48,8 @@ class TrainConfig:
     random_tps: list | None = None
     verbose: bool = False
     seed: int = 0
+    debug_plot: bool = False      # dump first sample per chunk (`train.py:119`)
+    debug_dir: str = "debug"
 
 
 class Trainer:
@@ -124,7 +126,12 @@ class Trainer:
             for c in range(len(self.train_loader)):
                 chunk = self.train_loader.get_chunk(c, cfg.random_tps)
                 chunk_losses = []
-                for batch in chunk.batches(bs, drop_last=True):
+                for b_idx, batch in enumerate(
+                        chunk.batches(bs, drop_last=True)):
+                    if cfg.debug_plot and b_idx == 0:
+                        from cvcs_tpu.utils.debug import debug_plot
+                        debug_plot(cfg.debug_dir, epoch, c, b_idx,
+                                   batch.image, batch.mask, batch.context)
                     image, mask, ctx = self._shard(
                         batch.image, batch.mask, batch.context)
                     if ctx is None:

@@ -1,0 +1,40 @@
+"""Debug plotting — the reference's ``debug_plot`` capability
+(`train.py:119-120`, `utils.py:526-554`): dump the first sample of a batch
+as an image / color-mask / context figure so augmentation and loader
+geometry can be eyeballed."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+from cvcs_tpu.data.palette import GID15Palette  # noqa: E402
+
+
+def debug_plot(out_dir, epoch: int, chunk: int, batch_index: int,
+               image, mask, context=None) -> Path:
+    """Write ``debug_e{epoch}_c{chunk}_b{batch}.png`` showing sample 0."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    palette = GID15Palette()
+    img = np.asarray(image[0])[..., :3].astype(np.uint8)
+    color = np.asarray(palette.decode(np.asarray(mask[0])))
+    panels = [("patch", img), ("mask", color)]
+    if context is not None:
+        panels.append(
+            ("context", np.asarray(context[0])[..., :3].astype(np.uint8)))
+    fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
+    for ax, (title, data) in zip(np.atleast_1d(axes), panels):
+        ax.imshow(data)
+        ax.set_title(title)
+        ax.axis("off")
+    path = out_dir / f"debug_e{epoch}_c{chunk}_b{batch_index}.png"
+    fig.savefig(path, bbox_inches="tight", dpi=80)
+    plt.close(fig)
+    return path

@@ -1,0 +1,71 @@
+"""Native C++ decoder/prefetcher tests (built on demand with g++ + libpng;
+skipped if the toolchain is unavailable)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cvcs_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    handle = native.load()
+    if handle is None:
+        pytest.skip("native tile_reader could not be built")
+    return handle
+
+
+def _png(tmp_path, name, arr):
+    path = tmp_path / name
+    Image.fromarray(arr).save(path)
+    return path
+
+
+def test_decode_rgb_matches_pil(lib, tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    path = _png(tmp_path, "rgb.png", arr)
+    out = native.decode_png(path)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_gray_matches_pil(lib, tmp_path):
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    path = _png(tmp_path, "gray.png", arr)
+    out = native.decode_png(path)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_prefetch_then_take(lib, tmp_path):
+    rng = np.random.default_rng(1)
+    arrs = [rng.integers(0, 256, (16, 16, 3), np.uint8) for _ in range(3)]
+    paths = [_png(tmp_path, f"p{i}.png", a) for i, a in enumerate(arrs)]
+    for p in paths:
+        native.prefetch(p)
+    for p, a in zip(paths, arrs):
+        np.testing.assert_array_equal(native.take(p), a)
+
+
+def test_take_cold_miss_decodes_inline(lib, tmp_path):
+    arr = np.zeros((4, 4, 3), np.uint8)
+    path = _png(tmp_path, "cold.png", arr)
+    np.testing.assert_array_equal(native.take(path), arr)
+
+
+def test_decode_missing_returns_none(lib, tmp_path):
+    assert native.decode_png(tmp_path / "nope.png") is None
+
+
+def test_scene_dataset_uses_native(lib, gid15_root):
+    """SceneDataset must produce identical arrays through the native path."""
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = SceneDataset(gid15_root)
+    ds.prefetch(range(len(ds)))
+    img = ds.load_image(0)
+    pil = np.asarray(Image.open(ds.image_paths[0]))
+    np.testing.assert_array_equal(img, pil)
+    mask = ds.load_index_mask(0)
+    pil_mask = np.asarray(Image.open(ds.index_mask_path(0)))
+    np.testing.assert_array_equal(mask, pil_mask)
