@@ -38,7 +38,8 @@ def predict(config: dict) -> None:
         batch_tiles=int(config.get("batch_tiles", 16)),
         num_classes=num_classes,
         bug_parity=bool(config.get("bug_parity")),
-        mask_only=bool(config.get("mask_only", True)))
+        mask_only=bool(config.get("mask_only", True)),
+        tta=bool(config.get("tta")))
     seg = SceneSegmenter(model.apply, variables, infer_cfg,
                          returns_logits=spec.returns_logits,
                          requires_context=spec.requires_context)
@@ -57,7 +58,17 @@ def predict(config: dict) -> None:
             labels = seg.predict_scene_sharded(scene, mesh)
         else:
             labels = seg.predict_scene(scene)
-        seg.export_patches(labels, out_dir, start_index=s * tpi)
+        if infer_cfg.mask_only:
+            seg.export_patches(labels, out_dir, start_index=s * tpi)
+        else:
+            # 3-panel figures with ground truth when masks exist
+            try:
+                gt = dataset.load_index_mask(s)[
+                    :labels.shape[0], :labels.shape[1]]
+            except FileNotFoundError:
+                gt = None
+            seg.export_figures(labels, scene, out_dir, gt_mask=gt,
+                               start_index=s * tpi)
         if config.get("out_image"):
             out_path = config["out_image"]
             if len(scenes) > 1:

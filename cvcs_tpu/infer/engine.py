@@ -54,6 +54,10 @@ class InferenceConfig:
     num_classes: int = 16
     bug_parity: bool = False              # reference's anchored windows
     mask_only: bool = True                # bare color PNG vs 3-panel figure
+    # test-time augmentation: average logits over the dihedral flips
+    # (identity, lr-flip, ud-flip, 180) — BASELINE config 5's "TTA +
+    # overlap stitching" path. Requires returns_logits models.
+    tta: bool = False
 
 
 class SceneSegmenter:
@@ -112,10 +116,20 @@ class SceneSegmenter:
             return lax.dynamic_slice(
                 scene_pad, (o[0], o[1], 0), (bc, bc, scene_pad.shape[2]))
 
+        def forward(wins):
+            return self.apply_fn(variables, wins, context=None, train=False)
+
         def step(canvas, obatch):
             wins = jax.vmap(gather)(obatch).astype(jnp.float32)
-            out = self.apply_fn(variables, wins, context=None,
-                                train=False)
+            if self.cfg.tta and self.returns_logits:
+                # dihedral-flip TTA, logits averaged in the input frame
+                out = forward(wins)
+                out = out + forward(wins[:, :, ::-1])[:, :, ::-1]
+                out = out + forward(wins[:, ::-1])[:, ::-1]
+                out = out + forward(wins[:, ::-1, ::-1])[:, ::-1, ::-1]
+                out = out / 4.0
+            else:
+                out = forward(wins)
             if self.returns_logits:
                 lab = jnp.argmax(out, axis=-1).astype(jnp.int32)
             else:
@@ -217,3 +231,42 @@ class SceneSegmenter:
 
         rgb = np.asarray(self.palette.decode_u8(labels))
         Image.fromarray(rgb).save(path)
+
+    def export_figures(self, labels: jnp.ndarray, scene, out_dir,
+                       gt_mask=None, start_index: int = 0) -> list:
+        """Per-tile 3-panel figures (image / ground truth / prediction) —
+        the reference's ``mask_only=False`` output (`utils.py:161-166`)."""
+        from pathlib import Path
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        p = self.cfg.patch_size
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rows, cols = labels.shape[0] // p, labels.shape[1] // p
+        pred_rgb = np.asarray(self.palette.decode(labels))
+        gt_rgb = (None if gt_mask is None
+                  else np.asarray(self.palette.decode(gt_mask)))
+        scene = np.asarray(scene)
+        paths = []
+        for r in range(rows):
+            for c in range(cols):
+                i = start_index + r * cols + c
+                sl = (slice(r * p, (r + 1) * p), slice(c * p, (c + 1) * p))
+                panels = [("patch", scene[sl][..., :3].astype(np.uint8))]
+                if gt_rgb is not None:
+                    panels.append(("ground truth", gt_rgb[sl]))
+                panels.append(("prediction", pred_rgb[sl]))
+                fig, axes = plt.subplots(1, len(panels),
+                                         figsize=(4 * len(panels), 4))
+                for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+                    ax.imshow(img)
+                    ax.set_title(title)
+                    ax.axis("off")
+                path = out_dir / f"{i}.png"
+                fig.savefig(path, bbox_inches="tight", dpi=80)
+                plt.close(fig)
+                paths.append(path)
+        return paths

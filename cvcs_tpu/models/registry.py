@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from cvcs_tpu.models.deeplab import DeepLabV3
 from cvcs_tpu.models.segformer import MIT_B0, MIT_B1, MIT_B3, SegFormer
+from cvcs_tpu.models.swin import SwinUNet
 from cvcs_tpu.models.unet import unet, unet_v2
 
 
@@ -84,6 +85,16 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         lambda num_classes, **kw: SegFormer(
             num_classes=num_classes, config=MIT_B1, **kw),
         wrapper=True),
+    # The Swin-UNet hybrid the reference's docs advertise ("TSwin"/"BSwin")
+    # but never implemented (SURVEY quirk 10) — multispectral-ready.
+    "SwinUnet": ModelSpec(
+        "SwinUnet",
+        lambda num_classes, **kw: SwinUNet(num_classes=num_classes, **kw)),
+    "SwinUnetTiny": ModelSpec(
+        "SwinUnetTiny",
+        lambda num_classes, **kw: SwinUNet(
+            num_classes=num_classes, dims=(32, 64, 128, 256),
+            depths=(1, 1, 2, 1), heads=(1, 2, 4, 8), **kw)),
 }
 
 

@@ -1,0 +1,202 @@
+"""Swin-UNet hybrid: shifted-window transformer encoder + UNet decoder.
+
+BASELINE.json config 4 calls for a "Swin-UNet hybrid" with multispectral
+(RGB+NIR) input; the reference's config docs advertise TSwin/BSwin nets
+that were never implemented (`configs/train/README.txt:40-48`, SURVEY
+quirk 10). This module provides that family as a first-class, from-scratch
+TPU model — there are no pretrained weights to import, so the design
+optimizes for the MXU rather than torch-layout compatibility:
+
+* windows are attention *batches*: (B * nWin, W*W, C) matmuls land on the
+  MXU; window size defaults to 8 (lane-friendly) and clamps to the feature
+  map when smaller;
+* shifted windows use `jnp.roll` + the standard region-id attention mask
+  (computed from static shapes at trace time, so it folds into the
+  program as a constant);
+* feature maps that don't tile by the window are zero-padded and sliced
+  back (pad tokens are masked out of attention);
+* patch merging is a strided 2x2 conv (equivalent capacity to Swin's
+  concat+linear, one fused op on TPU);
+* decoder: UNet-style ConvTranspose upsampling with stage-skip concats and
+  a 4x learned upsampling head back to input resolution (the patch embed
+  is stride 4);
+* any band count works (4-band NirRGB included): the stem conv infers its
+  input channels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cvcs_tpu.models.blocks import DecodeBlock
+
+
+def _pad_to(x: jnp.ndarray, mult: int):
+    h, w = x.shape[1], x.shape[2]
+    ph = -h % mult
+    pw = -w % mult
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x, (h, w)
+
+
+def _window_partition(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // win, win, w // win, win, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+
+
+def _window_merge(x: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
+    b = x.shape[0] // ((h // win) * (w // win))
+    c = x.shape[-1]
+    x = x.reshape(b, h // win, w // win, win, win, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+def _shift_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
+    """Region-id attention mask for shifted windows, (nWin, W*W, W*W) bool
+    (True = may attend). Pure numpy over static shapes."""
+    ids = np.zeros((h, w), np.int32)
+    h_bands = (slice(0, h - win), slice(h - win, h - shift),
+               slice(h - shift, h))
+    w_bands = (slice(0, w - win), slice(w - win, w - shift),
+               slice(w - shift, w))
+    cnt = 0
+    for hb in h_bands:
+        for wb in w_bands:
+            ids[hb, wb] = cnt
+            cnt += 1
+    ids = np.roll(ids, (-shift, -shift), axis=(0, 1))
+    ids = ids.reshape(h // win, win, w // win, win)
+    ids = ids.transpose(0, 2, 1, 3).reshape(-1, win * win)
+    return ids[:, :, None] == ids[:, None, :]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        # x: (nB, T, C); mask: (nWin, T, T) bool or None
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nb, t, _ = x.shape
+        hd = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, **kw)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):
+            return a.reshape(nb, t, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, self.dtype))
+        attn = attn.astype(jnp.float32)
+        if mask is not None:
+            n_win = mask.shape[0]
+            attn = attn.reshape(nb // n_win, n_win, self.heads, t, t)
+            attn = jnp.where(mask[None, :, None], attn, -1e9)
+            attn = attn.reshape(nb, self.heads, t, t)
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nb, t, self.dim)
+        return nn.Dense(self.dim, **kw)(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shifted: bool
+    mlp_ratio: int = 4
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b, h0, w0, c = x.shape
+        win = min(self.window, h0, w0)
+        x_pad, (h0, w0) = _pad_to(x, win)
+        h, w = x_pad.shape[1], x_pad.shape[2]
+        shift = win // 2 if (self.shifted and win > 1) else 0
+
+        y = nn.LayerNorm(**kw)(x_pad)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_mask(h, w, win, shift))
+        else:
+            mask = None
+        tokens = _window_partition(y, win)
+        tokens = WindowAttention(c, self.heads, **kw)(tokens, mask)
+        y = _window_merge(tokens, win, h, w)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x_pad = x_pad + y
+
+        y = nn.LayerNorm(**kw)(x_pad)
+        y = nn.Dense(c * self.mlp_ratio, **kw)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, **kw)(y)
+        x_pad = x_pad + y
+        return x_pad[:, :h0, :w0]
+
+
+class SwinUNet(nn.Module):
+    """Swin-T encoder (depths 2/2/6/2) + UNet decoder, any band count.
+
+    Protocol: ``requires_context = False``, ``returns_logits = True``.
+    """
+
+    num_classes: int
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 8
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    requires_context = False
+    returns_logits = True
+
+    @nn.compact
+    def __call__(self, x, context=None, train: bool = False):
+        del context
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = jnp.asarray(x, self.dtype)
+        # stem: 4x4/4 patch embed (any input band count)
+        x = nn.Conv(self.dims[0], (4, 4), strides=4, **kw)(x)
+        x = nn.LayerNorm(**kw)(x)
+        skips = []
+        for stage in range(4):
+            if stage > 0:
+                # patch merging as strided conv
+                x = nn.Conv(self.dims[stage], (2, 2), strides=2,
+                            use_bias=False, **kw)(x)
+                x = nn.LayerNorm(**kw)(x)
+            for blk in range(self.depths[stage]):
+                x = SwinBlock(self.dims[stage], self.heads[stage],
+                              self.window, shifted=bool(blk % 2), **kw)(x)
+            skips.append(x)
+
+        y = skips[-1]
+        for stage in (2, 1, 0):
+            y = nn.ConvTranspose(self.dims[stage], (2, 2), strides=(2, 2),
+                                 **kw)(y)
+            y = jnp.concatenate([skips[stage], y], axis=-1)
+            y = DecodeBlock(self.dims[stage], **kw)(y, train)
+        # 4x back to input resolution
+        y = nn.ConvTranspose(self.dims[0] // 2, (2, 2), strides=(2, 2),
+                             **kw)(y)
+        y = nn.relu(y)
+        y = nn.ConvTranspose(self.dims[0] // 2, (2, 2), strides=(2, 2),
+                             **kw)(y)
+        y = nn.relu(y)
+        logits = nn.Conv(self.num_classes, (3, 3), padding=1, **kw)(y)
+        return logits.astype(jnp.float32)
