@@ -270,6 +270,31 @@ def import_segformer(sd: Mapping, depths=(3, 4, 18, 3)) -> dict:
 
 
 # --------------------------------------------------------------------------
+# ViT (DINO / timm naming)
+# --------------------------------------------------------------------------
+
+def import_vit(sd: Mapping, depth: int = 12) -> dict:
+    """DINO/timm ViT state dict (cls_token, pos_embed, patch_embed.proj,
+    blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}, norm) ->
+    :class:`cvcs_tpu.models.vit.ViT` variables."""
+    b = _TreeBuilder()
+    b._set(b.params, ("cls_token",), _np(sd["cls_token"]))
+    b._set(b.params, ("pos_embed",), _np(sd["pos_embed"]))
+    b.conv(("Conv_0",), sd, "patch_embed.proj")
+    for i in range(depth):
+        base = f"blocks.{i}"
+        blk = (f"ViTBlock_{i}",)
+        b.ln(blk + ("LayerNorm_0",), sd, f"{base}.norm1")
+        b.dense(blk + ("Dense_0",), sd, f"{base}.attn.qkv")
+        b.dense(blk + ("Dense_1",), sd, f"{base}.attn.proj")
+        b.ln(blk + ("LayerNorm_1",), sd, f"{base}.norm2")
+        b.dense(blk + ("Dense_2",), sd, f"{base}.mlp.fc1")
+        b.dense(blk + ("Dense_3",), sd, f"{base}.mlp.fc2")
+    b.ln(("LayerNorm_0",), sd, "norm")
+    return b.variables()
+
+
+# --------------------------------------------------------------------------
 # Reference checkpoint dispatch
 # --------------------------------------------------------------------------
 
