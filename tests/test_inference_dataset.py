@@ -1,0 +1,65 @@
+"""Per-index InferenceDataset (reference GID15 map-style) geometry tests."""
+
+import numpy as np
+
+from cvcs_tpu.data.inference_dataset import InferenceDataset
+from tests.conftest import PATCH, SCENE_SHAPE, NUM_SCENES
+
+
+def test_len_and_indexing(gid15_root):
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          border_correction=PATCH + 16)
+    rows = SCENE_SHAPE[0] // PATCH
+    cols = SCENE_SHAPE[1] // PATCH
+    assert len(ds) == NUM_SCENES * rows * cols
+    patch, mask, context, padded = ds[0]
+    assert patch.shape == (PATCH, PATCH, 3)
+    assert mask.shape == (PATCH, PATCH)
+    assert context.shape == (PATCH, PATCH, 3)
+    assert padded.shape == (PATCH + 16, PATCH + 16, 3)
+
+
+def test_patch_matches_scene_pixels(gid15_root):
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          load_context=False)
+    scenes = SceneDataset(str(gid15_root))
+    img = scenes.load_image(1)
+    cols = SCENE_SHAPE[1] // PATCH
+    tile = 1 * cols + 2  # row 1, col 2 of scene 1
+    idx = 1 * ds.grid.tiles_per_image + tile
+    patch, mask, _, _ = ds[idx]
+    np.testing.assert_array_equal(
+        patch, img[PATCH:2 * PATCH, 2 * PATCH:3 * PATCH])
+    np.testing.assert_array_equal(
+        mask, scenes.load_index_mask(1)[PATCH:2 * PATCH,
+                                        2 * PATCH:3 * PATCH])
+
+
+def test_centered_window_contains_patch_at_center(gid15_root):
+    bc = PATCH + 8
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          border_correction=bc, load_context=False)
+    patch, _, _, padded = ds[5]
+    off = (bc - PATCH) // 2
+    np.testing.assert_array_equal(
+        padded[off:off + PATCH, off:off + PATCH], patch)
+
+
+def test_bug_parity_window_anchors_bottom_right(gid15_root):
+    bc = PATCH + 8
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          border_correction=bc, load_context=False,
+                          bug_parity=True)
+    patch, _, _, padded = ds[5]
+    margin = bc - PATCH
+    np.testing.assert_array_equal(padded[margin:, margin:], patch)
+
+
+def test_random_shift_does_not_crash(gid15_root):
+    """Reference quirk 1: GID15 + random_shift=True raises TypeError."""
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          random_shift=True, load_context=False)
+    patch, mask, _, _ = ds[0]
+    assert patch.shape == (PATCH, PATCH, 3)
