@@ -29,18 +29,21 @@ def build_trainer(config: dict) -> Trainer:
                    "checkpoint_directory"}, "train")
     augment = AugmentConfig() if config.get("augmentation") else None
     seed = int(config.get("seed", 0))
+    in_channels = int(config.get("in_channels", 3))  # 4 = NirRGB 4-band
     loader_train = ChunkLoader(
         config["train"], config["chunk_size"],
         patch_size=config["patch_size"],
         random_shift=bool(config.get("random_shift")),
         augment=augment,
         load_context=bool(config.get("load_context")),
+        in_channels=in_channels,
         seed=seed)
     loader_val = ChunkLoader(
         config["validation"],
         config.get("validation_chunk_size", config["chunk_size"]),
         patch_size=config["patch_size"],
         load_context=bool(config.get("load_context")),
+        in_channels=in_channels,
         seed=seed + 1)
     if config.get("debug"):
         # debug: 2 train scenes / 1 validation scene (`train.py:33-35`)
@@ -52,8 +55,8 @@ def build_trainer(config: dict) -> Trainer:
 
     t = get_table_cls()(["Name", "Value"])
     example = jnp.zeros(
-        (config["batch_size"], config["patch_size"], config["patch_size"], 3),
-        jnp.uint8)
+        (config["batch_size"], config["patch_size"], config["patch_size"],
+         in_channels), jnp.uint8)
     example_ctx = example if spec.requires_context else None
     state = create_train_state(model, optimizer, example, example_ctx,
                                seed=seed)
@@ -111,7 +114,9 @@ def main(argv=None) -> int:
             traceback.print_exc()
             print("Error in setting up training.")
             return 1
-        trainer.train()
+        from cvcs_tpu.utils.profiling import trace
+        with trace(config.get("profile_dir")):
+            trainer.train()
     return 0
 
 

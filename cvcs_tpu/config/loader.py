@@ -22,7 +22,7 @@ TRAIN_KEYS = {
     "random_tps", "loss", "opt", "ignore_background", "freq",
     "precision_evaluation_freq", "num_classes", "load_color_mask",
     # framework extensions
-    "precision", "mesh", "seed",
+    "precision", "mesh", "seed", "in_channels", "profile_dir",
 }
 EVAL_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "load_context",
