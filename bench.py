@@ -76,30 +76,35 @@ def get_baseline() -> dict:
     return base
 
 
-def bench_train(steps: int = 20, bs: int = 8) -> float:
+def bench_train(dispatches: int = 4, bs: int = 32, k: int = 8) -> float:
+    """Warm multi-step (lax.scan, K optimizer steps per dispatch) UNetv2
+    training throughput — the framework's production train path
+    (``steps_per_call`` in the train config)."""
     from cvcs_tpu.models import build_model
     from cvcs_tpu.ops.losses import build_loss
     from cvcs_tpu.train import build_optimizer, create_train_state
-    from cvcs_tpu.train.step import make_train_step
+    from cvcs_tpu.train.step import make_multi_train_step
 
     model, spec = build_model("Unetv2", 16)
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
-    train_step = make_train_step(build_loss("CEL"))
+    multi_step = make_multi_train_step(build_loss("CEL"))
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.integers(0, 256, (bs, PATCH, PATCH, 3), np.uint8))
-    mask = jnp.asarray(rng.integers(0, 16, (bs, PATCH, PATCH), np.int32))
-    ctx = jnp.zeros((), jnp.uint8)
+    images = jnp.asarray(
+        rng.integers(0, 256, (k, bs, PATCH, PATCH, 3), np.uint8))
+    masks = jnp.asarray(rng.integers(0, 16, (k, bs, PATCH, PATCH), np.int32))
+    ctx = jnp.zeros((k, 1), jnp.uint8)
     key = jax.random.key(0)
-    state, loss = train_step(state, image, mask, ctx, jnp.float32(6e-3), key)
-    jax.block_until_ready(loss)  # compile + warmup
+    state, losses = multi_step(state, images, masks, ctx,
+                               jnp.float32(6e-3), key)
+    jax.block_until_ready(losses)  # compile + warmup
     t0 = time.time()
-    for _ in range(steps):
-        state, loss = train_step(state, image, mask, ctx,
-                                 jnp.float32(6e-3), key)
-    jax.block_until_ready(loss)
-    return bs * steps / (time.time() - t0) / SCALE_512
+    for _ in range(dispatches):
+        state, losses = multi_step(state, images, masks, ctx,
+                                   jnp.float32(6e-3), key)
+    jax.block_until_ready(losses)
+    return bs * k * dispatches / (time.time() - t0) / SCALE_512
 
 
 def bench_infer(scene_px: int = 2048) -> float:

@@ -95,7 +95,8 @@ def build_trainer(config: dict) -> Trainer:
         random_tps=config.get("random_tps"),
         verbose=bool(config.get("verbose")),
         seed=seed,
-        debug_plot=bool(config.get("debug_plot")))
+        debug_plot=bool(config.get("debug_plot")),
+        steps_per_call=int(config.get("steps_per_call", 1)))
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

@@ -82,18 +82,42 @@ class DeviceChunk:
             )
         rem = n - full * batch_size
         if rem and not drop_last:
-            idx = np.concatenate(
-                [np.arange(full * batch_size, n),
-                 np.zeros(batch_size - rem, dtype=np.int64)]
-            )
-            valid = jnp.asarray(np.arange(batch_size) < rem)
-            yield Batch(
-                image=jnp.take(self.images, idx, axis=0),
-                mask=jnp.take(self.masks, idx, axis=0),
-                context=None if self.contexts is None
-                else jnp.take(self.contexts, idx, axis=0),
-                valid=valid,
-            )
+            yield self._tail_batch(batch_size, full, rem)
+
+    def _tail_batch(self, batch_size: int, full: int, rem: int) -> Batch:
+        n = len(self)
+        idx = np.concatenate(
+            [np.arange(full * batch_size, n),
+             np.zeros(batch_size - rem, dtype=np.int64)]
+        )
+        valid = jnp.asarray(np.arange(batch_size) < rem)
+        return Batch(
+            image=jnp.take(self.images, idx, axis=0),
+            mask=jnp.take(self.masks, idx, axis=0),
+            context=None if self.contexts is None
+            else jnp.take(self.contexts, idx, axis=0),
+            valid=valid,
+        )
+
+    def stacked_batches(self, batch_size: int, k: int):
+        """(K, B, ...) stacks for the compiled multi-step train path —
+        zero-copy reshapes of the contiguous chunk buffers. Yields
+        ``(images, masks, contexts, n_micro)`` tuples covering the first
+        ``(len // (B*K)) * B*K`` samples; callers run the remaining
+        micro-batches through the single-step path."""
+        n = len(self)
+        span = batch_size * k
+        full = n // span
+        for b in range(full):
+            sl = slice(b * span, (b + 1) * span)
+            images = self.images[sl].reshape(
+                k, batch_size, *self.images.shape[1:])
+            masks = self.masks[sl].reshape(
+                k, batch_size, *self.masks.shape[1:])
+            ctx = (jnp.zeros((k, 1), jnp.uint8) if self.contexts is None
+                   else self.contexts[sl].reshape(
+                       k, batch_size, *self.contexts.shape[1:]))
+            yield images, masks, ctx, k
 
 
 class ChunkLoader:

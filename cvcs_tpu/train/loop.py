@@ -31,7 +31,12 @@ from cvcs_tpu.metrics import confusion, scores
 from cvcs_tpu.train import checkpoint as ckpt_lib
 from cvcs_tpu.train.optim import OptimizerBundle
 from cvcs_tpu.train.state import TrainState
-from cvcs_tpu.train.step import make_loss_step, make_predict_step, make_train_step
+from cvcs_tpu.train.step import (
+    make_loss_step,
+    make_multi_train_step,
+    make_predict_step,
+    make_train_step,
+)
 
 
 @dataclasses.dataclass
@@ -50,6 +55,9 @@ class TrainConfig:
     seed: int = 0
     debug_plot: bool = False      # dump first sample per chunk (`train.py:119`)
     debug_dir: str = "debug"
+    # compiled multi-step: K optimizer steps per device dispatch (lax.scan
+    # over stacked micro-batches). 1 = reference-style per-batch dispatch.
+    steps_per_call: int = 1
 
 
 class Trainer:
@@ -79,6 +87,9 @@ class Trainer:
         self.log = log
 
         self.train_step = make_train_step(loss_fn, spec.requires_context)
+        self.multi_step = (
+            make_multi_train_step(loss_fn, spec.requires_context)
+            if config.steps_per_call > 1 else None)
         self.loss_step = make_loss_step(loss_fn, spec.requires_context)
         self.predict_step = make_predict_step(
             spec.returns_logits, spec.requires_context)
@@ -126,8 +137,23 @@ class Trainer:
             for c in range(len(self.train_loader)):
                 chunk = self.train_loader.get_chunk(c, cfg.random_tps)
                 chunk_losses = []
+                tail_start = 0
+                if self.multi_step is not None:
+                    k = cfg.steps_per_call
+                    for images, masks, ctxs, n_micro in \
+                            chunk.stacked_batches(bs, k):
+                        images, masks, ctxs = self._shard(
+                            images, masks, ctxs)
+                        self.state, losses = self.multi_step(
+                            self.state, images, masks, ctxs,
+                            jnp.float32(lr), self.dropout_key)
+                        chunk_losses.append(losses)
+                        n_patches += int(n_micro * bs)
+                        tail_start += n_micro * bs
                 for b_idx, batch in enumerate(
                         chunk.batches(bs, drop_last=True)):
+                    if b_idx * bs < tail_start:
+                        continue   # already consumed by the stacked path
                     if cfg.debug_plot and b_idx == 0:
                         from cvcs_tpu.utils.debug import debug_plot
                         debug_plot(cfg.debug_dir, epoch, c, b_idx,
@@ -141,9 +167,10 @@ class Trainer:
                         jnp.float32(lr), self.dropout_key)
                     chunk_losses.append(loss)
                     n_patches += int(image.shape[0])
-                # one host sync per chunk
-                self.training_loss_values += [
-                    float(v) for v in jax.device_get(chunk_losses)]
+                # one host sync per chunk (multi-step entries are (K,) arrays)
+                for v in jax.device_get(chunk_losses):
+                    self.training_loss_values += [
+                        float(x) for x in np.asarray(v).reshape(-1)]
             epoch_s = time.time() - t_epoch
             if cfg.verbose and self.training_loss_values:
                 self.log(

@@ -21,10 +21,10 @@ import jax
 import jax.numpy as jnp
 
 
-def make_train_step(loss_fn: Callable, requires_context: bool = False):
-    """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
+def _train_step_impl(loss_fn: Callable, requires_context: bool = False):
+    """Raw (unjitted) train step body shared by the single- and multi-step
+    builders."""
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, image, mask, context, lr, dropout_key):
         x = image.astype(jnp.float32)
         ctx = context.astype(jnp.float32) if requires_context else None
@@ -52,6 +52,31 @@ def make_train_step(loss_fn: Callable, requires_context: bool = False):
         return new_state, loss
 
     return train_step
+
+
+def make_train_step(loss_fn: Callable, requires_context: bool = False):
+    """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
+    return partial(jax.jit, donate_argnums=(0,))(
+        _train_step_impl(loss_fn, requires_context))
+
+
+def make_multi_train_step(loss_fn: Callable, requires_context: bool = False):
+    """Compiled multi-step training: one dispatch runs a `lax.scan` over a
+    stacked (K, B, ...) batch sequence — amortizes host->device dispatch
+    latency (measured ~2 ms/step through this machine's TPU tunnel, which
+    otherwise dominates sub-2ms steps). Returns (state, (K,) losses)."""
+    single = _train_step_impl(loss_fn, requires_context)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, images, masks, contexts, lr, dropout_key):
+        def body(st, xs):
+            img, msk, ctx = xs
+            st, loss = single(st, img, msk, ctx, lr, dropout_key)
+            return st, loss
+
+        return jax.lax.scan(body, state, (images, masks, contexts))
+
+    return multi_step
 
 
 def make_loss_step(loss_fn: Callable, requires_context: bool = False):
