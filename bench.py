@@ -98,13 +98,23 @@ def bench_train(dispatches: int = 4, bs: int = 32, k: int = 8) -> float:
     key = jax.random.key(0)
     state, losses = multi_step(state, images, masks, ctx,
                                jnp.float32(6e-3), key)
-    jax.block_until_ready(losses)  # compile + warmup
-    t0 = time.time()
-    for _ in range(dispatches):
-        state, losses = multi_step(state, images, masks, ctx,
-                                   jnp.float32(6e-3), key)
-    jax.block_until_ready(losses)
-    return bs * k * dispatches / (time.time() - t0) / SCALE_512
+    jax.device_get(losses)  # compile + warmup (full host sync)
+
+    # block_until_ready is unreliable through this machine's TPU tunnel
+    # (returns at enqueue); device_get of the scalar losses forces a real
+    # sync. Marginal-rate measurement cancels the fixed sync overhead.
+    def timed(n):
+        nonlocal state
+        t0 = time.time()
+        for _ in range(n):
+            state, losses = multi_step(state, images, masks, ctx,
+                                       jnp.float32(6e-3), key)
+        jax.device_get(losses)
+        return time.time() - t0
+
+    t1 = timed(1)
+    tn = timed(1 + dispatches)
+    return bs * k * dispatches / max(tn - t1, 1e-9) / SCALE_512
 
 
 def bench_infer(scene_px: int = 2048) -> float:
@@ -123,14 +133,21 @@ def bench_infer(scene_px: int = 2048) -> float:
     rng = np.random.default_rng(1)
     scene = rng.integers(0, 256, (scene_px, scene_px, 3), np.uint8)
     labels = seg.predict_scene(scene)
-    jax.block_until_ready(labels)  # compile + warmup
+    jax.device_get(jnp.sum(labels))  # compile + warmup (real sync)
     n_tiles = (scene_px // PATCH) ** 2
+
+    def timed(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = jnp.sum(seg.predict_scene(scene))
+        jax.device_get(out)
+        return time.time() - t0
+
+    t1 = timed(1)
     reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        labels = seg.predict_scene(scene)
-    jax.block_until_ready(labels)
-    return n_tiles * reps / (time.time() - t0) / SCALE_512
+    tn = timed(1 + reps)
+    return n_tiles * reps / max(tn - t1, 1e-9) / SCALE_512
 
 
 def main() -> None:

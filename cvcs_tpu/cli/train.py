@@ -96,7 +96,8 @@ def build_trainer(config: dict) -> Trainer:
         verbose=bool(config.get("verbose")),
         seed=seed,
         debug_plot=bool(config.get("debug_plot")),
-        steps_per_call=int(config.get("steps_per_call", 1)))
+        steps_per_call=int(config.get("steps_per_call", 1)),
+        metrics_log=config.get("metrics_log"))
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

@@ -58,6 +58,9 @@ class TrainConfig:
     # compiled multi-step: K optimizer steps per device dispatch (lax.scan
     # over stacked micro-batches). 1 = reference-style per-batch dispatch.
     steps_per_call: int = 1
+    # structured observability: JSONL per-epoch metrics (SURVEY §5 — the
+    # reference has no structured logging)
+    metrics_log: str | None = None
 
 
 class Trainer:
@@ -179,7 +182,27 @@ class Trainer:
                     f"({n_patches / max(epoch_s, 1e-9):.1f} patches/s)")
 
             self.log("Running validation...")
+            n_val_before = len(self.validation_loss_values)
             self.validation_loss_values += self.validation_loss()
+
+            if cfg.metrics_log:
+                import json
+                with open(cfg.metrics_log, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch + 1,
+                        "lr": lr,
+                        "train_loss": (
+                            float(np.mean(self.training_loss_values[-max(
+                                n_patches // max(bs, 1), 1):]))
+                            if self.training_loss_values else None),
+                        "val_loss": (
+                            float(np.mean(
+                                self.validation_loss_values[n_val_before:]))
+                            if len(self.validation_loss_values) > n_val_before
+                            else None),
+                        "patches_per_s": n_patches / max(epoch_s, 1e-9),
+                        "epoch_s": epoch_s,
+                    }) + "\n")
 
             if (epoch + 1) % cfg.precision_evaluation_freq == 0:
                 self.log(f"Evaluating precision after epoch {epoch + 1}")
@@ -188,15 +211,17 @@ class Trainer:
                 self.conf_history.append(host_conf.total)
 
             if (epoch + 1) % cfg.freq == 0:
+                # full confusion histories, like the reference's conf_flat /
+                # conf_normalized lists (`utils.py:128-142`)
                 ckpt_lib.save_checkpoint(
                     cfg.checkpoint_directory, epoch, self.state,
                     self.training_loss_values, self.validation_loss_values,
                     bs, self.optimizer.name,
-                    conf_flat=self.conf_history[-1]
-                    if self.conf_history else None,
-                    conf_normalized=confusion.normalize_rows(
-                        self.conf_history[-1])
-                    if self.conf_history else None)
+                    conf_flat=[np.asarray(m).tolist()
+                               for m in self.conf_history],
+                    conf_normalized=[
+                        np.asarray(confusion.normalize_rows(m)).tolist()
+                        for m in self.conf_history])
                 self.log(f"Saved checkpoint {epoch + 1}")
 
         self.log("Training Done!")
