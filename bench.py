@@ -76,7 +76,7 @@ def get_baseline() -> dict:
     return base
 
 
-def bench_train(dispatches: int = 4, bs: int = 32, k: int = 8) -> float:
+def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4) -> float:
     """Warm multi-step (lax.scan, K optimizer steps per dispatch) UNetv2
     training throughput — the framework's production train path
     (``steps_per_call`` in the train config)."""

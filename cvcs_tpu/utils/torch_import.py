@@ -80,6 +80,10 @@ class _TreeBuilder:
         if f"{name}.bias" in sd:
             self._set(self.params, path + ("bias",), _np(sd[f"{name}.bias"]))
 
+    def wbn(self, path: tuple, sd: Mapping, name: str) -> None:
+        """BN inside our `_BN` wrapper module (nested BatchNorm_0 scope)."""
+        self.bn(path + ("BatchNorm_0",), sd, name)
+
     def bn(self, path: tuple, sd: Mapping, name: str) -> None:
         self._set(self.params, path + ("scale",), _np(sd[f"{name}.weight"]))
         self._set(self.params, path + ("bias",), _np(sd[f"{name}.bias"]))
@@ -137,7 +141,7 @@ _RESNET_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
 def _import_resnet(b: _TreeBuilder, sd: Mapping, prefix: str,
                    arch: str, root: tuple) -> None:
     b.conv(root + ("Conv_0",), sd, f"{prefix}conv1")
-    b.bn(root + ("_BN_0",), sd, f"{prefix}bn1")
+    b.wbn(root + ("_BN_0",), sd, f"{prefix}bn1")
     block = "Bottleneck" if arch != "resnet18" else "BasicBlock"
     n_convs = 3 if block == "Bottleneck" else 2
     idx = 0
@@ -147,11 +151,11 @@ def _import_resnet(b: _TreeBuilder, sd: Mapping, prefix: str,
             path = root + (f"{block}_{idx}",)
             for c in range(n_convs):
                 b.conv(path + (f"Conv_{c}",), sd, f"{base}.conv{c + 1}")
-                b.bn(path + (f"_BN_{c}",), sd, f"{base}.bn{c + 1}")
+                b.wbn(path + (f"_BN_{c}",), sd, f"{base}.bn{c + 1}")
             if f"{base}.downsample.0.weight" in sd:
                 b.conv(path + (f"Conv_{n_convs}",), sd,
                        f"{base}.downsample.0")
-                b.bn(path + (f"_BN_{n_convs}",), sd, f"{base}.downsample.1")
+                b.wbn(path + (f"_BN_{n_convs}",), sd, f"{base}.downsample.1")
             idx += 1
 
 
@@ -161,13 +165,13 @@ def _import_deeplab_head(b: _TreeBuilder, sd: Mapping, prefix: str,
     # convs.0 (1x1), convs.1-3 (atrous), convs.4 (pool), project
     for i in range(4):
         b.conv(aspp + (f"Conv_{i}",), sd, f"{prefix}0.convs.{i}.0")
-        b.bn(aspp + (f"_BN_{i}",), sd, f"{prefix}0.convs.{i}.1")
+        b.wbn(aspp + (f"_BN_{i}",), sd, f"{prefix}0.convs.{i}.1")
     b.conv(aspp + ("Conv_4",), sd, f"{prefix}0.convs.4.1")
-    b.bn(aspp + ("_BN_4",), sd, f"{prefix}0.convs.4.2")
+    b.wbn(aspp + ("_BN_4",), sd, f"{prefix}0.convs.4.2")
     b.conv(aspp + ("Conv_5",), sd, f"{prefix}0.project.0")
-    b.bn(aspp + ("_BN_5",), sd, f"{prefix}0.project.1")
+    b.wbn(aspp + ("_BN_5",), sd, f"{prefix}0.project.1")
     b.conv(root + ("Conv_0",), sd, f"{prefix}1")
-    b.bn(root + ("_BN_0",), sd, f"{prefix}2")
+    b.wbn(root + ("_BN_0",), sd, f"{prefix}2")
     b.conv(root + ("Conv_1",), sd, f"{prefix}4")
 
 
@@ -176,7 +180,7 @@ def _import_mobilenet(b: _TreeBuilder, sd: Mapping, prefix: str,
     from cvcs_tpu.models.mobilenet import LARGE_DILATED
 
     b.conv(root + ("Conv_0",), sd, f"{prefix}0.0")
-    b.bn(root + ("_BN_0",), sd, f"{prefix}0.1")
+    b.wbn(root + ("_BN_0",), sd, f"{prefix}0.1")
     for i, cfg in enumerate(LARGE_DILATED):
         base = f"{prefix}{i + 1}.block"
         path = root + (f"InvertedResidual_{i}",)
@@ -185,12 +189,12 @@ def _import_mobilenet(b: _TreeBuilder, sd: Mapping, prefix: str,
         inp_equals_exp = (i == 0)  # first block has no expand conv
         if not inp_equals_exp:
             b.conv(path + (f"Conv_{c}",), sd, f"{base}.{k}.0")
-            b.bn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
+            b.wbn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
             k += 1
             c += 1
         b.conv(path + (f"Conv_{c}",), sd, f"{base}.{k}.0",
                transform=depthwise_w)
-        b.bn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
+        b.wbn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
         k += 1
         c += 1
         if cfg.use_se:
@@ -199,9 +203,9 @@ def _import_mobilenet(b: _TreeBuilder, sd: Mapping, prefix: str,
             b.conv(se + ("Conv_1",), sd, f"{base}.{k}.fc2")
             k += 1
         b.conv(path + (f"Conv_{c}",), sd, f"{base}.{k}.0")
-        b.bn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
+        b.wbn(path + (f"_BN_{c}",), sd, f"{base}.{k}.1")
     b.conv(root + ("Conv_1",), sd, f"{prefix}16.0")
-    b.bn(root + ("_BN_1",), sd, f"{prefix}16.1")
+    b.wbn(root + ("_BN_1",), sd, f"{prefix}16.1")
 
 
 def import_deeplab(sd: Mapping, backbone: str) -> dict:

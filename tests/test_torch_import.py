@@ -77,6 +77,24 @@ def test_strip_prefixes_matches_custom_load():
 
 
 @pytest.mark.slow
+def test_deeplab_resnet50_twin_parity():
+    """torchvision is not installed; the twin reproduces its structure and
+    naming exactly (cvcs_tpu/utils/torch_deeplab_ref.py)."""
+    from cvcs_tpu.utils.torch_deeplab_ref import TorchDeepLabV3
+
+    torch.manual_seed(1)
+    ref = TorchDeepLabV3(16, "resnet50").eval()
+    variables = torch_import.import_deeplab(ref.state_dict(), "resnet50")
+    model, _ = build_model("Resnet50", 16, **F32)
+    x = np.random.default_rng(1).random((1, 64, 64, 3), np.float32)
+    ours = _apply_eval(model, variables, x)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_deeplab_resnet50_torchvision_parity():
     tv = pytest.importorskip("torchvision")
     torch.manual_seed(1)
