@@ -58,13 +58,24 @@ def init_variables(model, patch_size: int, in_channels: int = 3, seed: int = 0):
 
 
 def restore_variables(config: dict, model, patch_size: int):
-    """Initialize then (optionally) overwrite from config['load_checkpoint']."""
+    """Initialize then (optionally) overwrite from config['load_checkpoint'].
+
+    A directory is one of our Orbax checkpoints; a *file* is a reference
+    ``torch.save`` pickle and goes through the torch importer (incl. the
+    wrappers' DataParallel prefix rewrites) — published reference
+    checkpoints work directly in the evaluate/predict CLIs.
+    """
     variables = init_variables(model, patch_size)
     ckpt = config.get("load_checkpoint")
     if ckpt:
-        variables = ckpt_lib.load_model_variables(
-            ckpt, {"params": variables["params"],
-                   "batch_stats": variables.get("batch_stats", {})})
+        if Path(ckpt).is_file():
+            from cvcs_tpu.utils.torch_import import load_reference_checkpoint
+
+            variables = load_reference_checkpoint(ckpt, config["net"])
+        else:
+            variables = ckpt_lib.load_model_variables(
+                ckpt, {"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})})
         print(f"Loaded checkpoint {ckpt}", flush=True)
     return variables
 
