@@ -38,3 +38,28 @@ def debug_plot(out_dir, epoch: int, chunk: int, batch_index: int,
     fig.savefig(path, bbox_inches="tight", dpi=80)
     plt.close(fig)
     return path
+
+
+def plot_activations(features, path, max_channels: int = 64,
+                     title: str = "") -> Path:
+    """Activation-map grid for one tapped feature map (H, W, C) — the
+    retrieval notebook's ``visualize_activations`` capability
+    (`retrieval.ipynb` cell 0). Use with
+    :func:`cvcs_tpu.retrieval.features.extract_features`."""
+    feats = np.asarray(features)
+    if feats.ndim == 4:
+        feats = feats[0]
+    c = min(feats.shape[-1], max_channels)
+    cols = 8
+    rows = -(-c // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    for i, ax in enumerate(np.asarray(axes).ravel()):
+        ax.axis("off")
+        if i < c:
+            ax.imshow(feats[..., i], cmap="viridis")
+    if title:
+        fig.suptitle(f"{title} {feats.shape}")
+    path = Path(path)
+    fig.savefig(path, bbox_inches="tight", dpi=70)
+    plt.close(fig)
+    return path
