@@ -28,7 +28,6 @@ through the host, writes 960 PNGs, then *re-reads them all* to stitch):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
