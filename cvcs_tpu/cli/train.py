@@ -102,8 +102,17 @@ def build_trainer(config: dict) -> Trainer:
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,
                       mesh=common.mesh_from_config(config))
-    if config.get("load_checkpoint"):
-        trainer.resume(config["load_checkpoint"])
+    ckpt = config.get("load_checkpoint")
+    if ckpt == "auto":
+        # crash-resume: pick up the newest checkpoint in the directory
+        # (elastic-recovery convenience the reference lacks, SURVEY §5)
+        from cvcs_tpu.train.checkpoint import latest_checkpoint
+        ckpt = latest_checkpoint(config["checkpoint_directory"])
+        if ckpt is None:
+            print("No checkpoint to resume from; starting fresh",
+                  flush=True)
+    if ckpt:
+        trainer.resume(ckpt)
     return trainer
 
 
