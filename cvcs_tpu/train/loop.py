@@ -118,13 +118,25 @@ class Trainer:
                  f"(batch_size={self.config.batch_size})")
 
     # -- device placement ---------------------------------------------------
-    def _shard(self, *arrays):
+    def _shard(self, *arrays, batch_axis: int = 0):
+        """Shard the batch axis over the ``data`` mesh axis. For stacked
+        multi-step arrays (K, B, ...) the batch axis is 1 — the scan axis
+        K must stay unsharded."""
         if self.mesh is None or np.prod(tuple(self.mesh.shape.values())) == 1:
             return arrays
-        return tuple(
-            None if a is None else jax.device_put(
-                a, mesh_lib.batch_sharding(self.mesh, a.ndim))
-            for a in arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+
+        def put(a):
+            if a is None:
+                return None
+            spec = [None] * a.ndim
+            if a.ndim > batch_axis and a.shape[batch_axis] % n_data == 0:
+                spec[batch_axis] = mesh_lib.DATA_AXIS
+            return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+
+        return tuple(put(a) for a in arrays)
 
     # -- main loop -----------------------------------------------------------
     def train(self) -> TrainState:
@@ -146,7 +158,7 @@ class Trainer:
                     for images, masks, ctxs, n_micro in \
                             chunk.stacked_batches(bs, k):
                         images, masks, ctxs = self._shard(
-                            images, masks, ctxs)
+                            images, masks, ctxs, batch_axis=1)
                         self.state, losses = self.multi_step(
                             self.state, images, masks, ctxs,
                             jnp.float32(lr), self.dropout_key)
