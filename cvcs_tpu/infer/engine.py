@@ -203,10 +203,16 @@ class SceneSegmenter:
     def export_patches(self, labels: jnp.ndarray, out_dir,
                        start_index: int = 0) -> list:
         """Per-tile color-mask PNGs named ``{i}.png`` in row-major order —
-        the reference's per-patch output contract (`utils.py:161-171`)."""
+        the reference's per-patch output contract (`utils.py:161-171`).
+
+        Encoding goes through the native async writer thread when available
+        (960 PNG encodes per GID15 scene would otherwise serialize on the
+        host; the C++ writer overlaps them with the next scene's forward),
+        with PIL fallback.
+        """
         from pathlib import Path
 
-        from PIL import Image
+        from cvcs_tpu import native
 
         p = self.cfg.patch_size
         out_dir = Path(out_dir)
@@ -214,13 +220,24 @@ class SceneSegmenter:
         rows, cols = labels.shape[0] // p, labels.shape[1] // p
         rgb = np.asarray(self.palette.decode_u8(labels))
         paths = []
+        use_native = native.load() is not None
         for r in range(rows):
             for c in range(cols):
                 i = start_index + r * cols + c
                 tile = rgb[r * p:(r + 1) * p, c * p:(c + 1) * p]
                 path = out_dir / f"{i}.png"
-                Image.fromarray(tile).save(path)
+                if use_native:
+                    native.write_png_async(path, tile)
+                else:
+                    from PIL import Image
+
+                    Image.fromarray(tile).save(path)
                 paths.append(path)
+        if use_native:
+            failures = native.flush_writes()
+            if failures:
+                raise IOError(
+                    f"{failures} patch PNG writes failed under {out_dir}")
         return paths
 
     def export_map(self, labels: jnp.ndarray, path) -> None:

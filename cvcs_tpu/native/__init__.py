@@ -50,6 +50,12 @@ def load():
     lib.tr_prefetch.argtypes = [ctypes.c_char_p]
     lib.tr_prefetch.restype = None
     lib.tr_cache_size.restype = ctypes.c_int64
+    enc_args = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_uint32, ctypes.c_uint32]
+    lib.tr_encode_png.argtypes = enc_args
+    lib.tr_write_async.argtypes = enc_args
+    lib.tr_write_async.restype = None
+    lib.tr_flush_writes.restype = ctypes.c_int64
     _handle = lib
     return _handle
 
@@ -92,3 +98,44 @@ def take(path) -> np.ndarray | None:
     if lib is None:
         return None
     return _fetch(lib.tr_take, lib, path)
+
+
+def _as_hwc(arr: np.ndarray) -> np.ndarray:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+def write_png(path, arr: np.ndarray) -> bool:
+    """Synchronous native PNG write of (H, W[, C]) uint8; False -> caller
+    falls back to PIL."""
+    lib = load()
+    if lib is None:
+        return False
+    arr = _as_hwc(arr)
+    h, w, c = arr.shape
+    rc = lib.tr_encode_png(str(path).encode(),
+                           arr.ctypes.data_as(ctypes.c_void_p), w, h, c)
+    return rc == 0
+
+
+def write_png_async(path, arr: np.ndarray) -> bool:
+    """Queue a background PNG write (the C++ writer thread copies the
+    buffer). Call :func:`flush_writes` before relying on the files."""
+    lib = load()
+    if lib is None:
+        return False
+    arr = _as_hwc(arr)
+    h, w, c = arr.shape
+    lib.tr_write_async(str(path).encode(),
+                       arr.ctypes.data_as(ctypes.c_void_p), w, h, c)
+    return True
+
+
+def flush_writes() -> int:
+    """Block until queued writes land; returns the number of failures."""
+    lib = load()
+    if lib is None:
+        return 0
+    return int(lib.tr_flush_writes())

@@ -14,6 +14,10 @@
 //   tr_take(path, out, len, &w, &h, &c)  blocking fetch (decodes inline on
 //                               miss), removes the entry from the cache
 //   tr_cache_size()            entries currently cached
+//   tr_encode_png(path, buf, w, h, c)    synchronous PNG write
+//   tr_write_async(path, buf, w, h, c)   enqueue background PNG write
+//   tr_flush_writes()          block until the write queue drains; returns
+//                               the number of failed writes since last flush
 //
 // Single worker thread by design: the box is 1-core, the win is overlap
 // with device compute, not parallel decode.
@@ -144,6 +148,99 @@ Prefetcher& prefetcher() {
   return *p;
 }
 
+bool encode_png_file(const char* path, const uint8_t* buf, uint32_t w,
+                     uint32_t h, uint32_t c) {
+  if (c != 1 && c != 3 && c != 4) return false;
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    std::fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  const int color = c == 1   ? PNG_COLOR_TYPE_GRAY
+                    : c == 3 ? PNG_COLOR_TYPE_RGB
+                             : PNG_COLOR_TYPE_RGBA;
+  png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  // masks are flat-colored: fastest filter + light compression
+  png_set_compression_level(png, 1);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (uint32_t r = 0; r < h; ++r)
+    rows[r] = const_cast<png_bytep>(buf + static_cast<size_t>(r) * w * c);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return true;
+}
+
+struct WriteJob {
+  std::string path;
+  std::vector<uint8_t> data;
+  uint32_t w, h, c;
+};
+
+class Writer {
+ public:
+  Writer() : worker_(&Writer::run, this) {}
+
+  void enqueue(WriteJob job) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      queue_.push_back(std::move(job));
+      ++outstanding_;
+    }
+    cv_.notify_one();
+  }
+
+  int64_t flush() {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [&] { return outstanding_ == 0; });
+    int64_t f = failures_;
+    failures_ = 0;
+    return f;
+  }
+
+ private:
+  void run() {
+    for (;;) {
+      WriteJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return !queue_.empty(); });
+        job = std::move(queue_.front());
+        queue_.pop_front();
+      }
+      bool ok = encode_png_file(job.path.c_str(), job.data.data(), job.w,
+                                job.h, job.c);
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (!ok) ++failures_;
+        --outstanding_;
+      }
+      cv_done_.notify_all();
+    }
+  }
+
+  std::mutex mu_;
+  std::condition_variable cv_, cv_done_;
+  std::deque<WriteJob> queue_;
+  int64_t outstanding_ = 0;
+  int64_t failures_ = 0;
+  std::thread worker_;
+};
+
+Writer& writer() {
+  static Writer* w = new Writer();
+  return *w;
+}
+
 int copy_out(const Image& img, uint8_t* out, int64_t out_len, uint32_t* w,
              uint32_t* h, uint32_t* c) {
   if (!img.ok) return -1;
@@ -196,5 +293,23 @@ int tr_take(const char* path, uint8_t* out, int64_t out_len, uint32_t* w,
 int64_t tr_cache_size() {
   return static_cast<int64_t>(prefetcher().size());
 }
+
+int tr_encode_png(const char* path, const uint8_t* buf, uint32_t w,
+                  uint32_t h, uint32_t c) {
+  return encode_png_file(path, buf, w, h, c) ? 0 : -1;
+}
+
+void tr_write_async(const char* path, const uint8_t* buf, uint32_t w,
+                    uint32_t h, uint32_t c) {
+  WriteJob job;
+  job.path = path;
+  job.data.assign(buf, buf + static_cast<size_t>(w) * h * c);
+  job.w = w;
+  job.h = h;
+  job.c = c;
+  writer().enqueue(std::move(job));
+}
+
+int64_t tr_flush_writes() { return writer().flush(); }
 
 }  // extern "C"

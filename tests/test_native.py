@@ -57,6 +57,53 @@ def test_decode_missing_returns_none(lib, tmp_path):
     assert native.decode_png(tmp_path / "nope.png") is None
 
 
+def test_write_png_roundtrip(lib, tmp_path):
+    rng = np.random.default_rng(2)
+    for shape in [(9, 13, 3), (6, 6), (5, 7, 4)]:
+        arr = rng.integers(0, 256, shape, np.uint8)
+        path = tmp_path / f"w{len(shape)}_{shape[-1]}.png"
+        assert native.write_png(path, arr)
+        back = native.decode_png(path)
+        np.testing.assert_array_equal(back, arr if len(shape) == 3
+                                      else arr)
+
+
+def test_async_writes_flush(lib, tmp_path):
+    rng = np.random.default_rng(3)
+    arrs = [rng.integers(0, 256, (8, 8, 3), np.uint8) for _ in range(5)]
+    for i, a in enumerate(arrs):
+        assert native.write_png_async(tmp_path / f"a{i}.png", a)
+    assert native.flush_writes() == 0
+    for i, a in enumerate(arrs):
+        np.testing.assert_array_equal(
+            native.decode_png(tmp_path / f"a{i}.png"), a)
+
+
+def test_async_write_failure_counted(lib, tmp_path):
+    arr = np.zeros((4, 4, 3), np.uint8)
+    native.write_png_async(tmp_path / "no_dir" / "x.png", arr)
+    assert native.flush_writes() == 1
+
+
+def test_export_patches_native_path(lib, gid15_root, tmp_path):
+    """engine.export_patches through the async writer must equal PIL."""
+    import jax.numpy as jnp
+
+    from cvcs_tpu.data.palette import PALETTE
+    from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
+    from PIL import Image
+
+    labels = np.kron(np.arange(16).reshape(4, 4),
+                     np.ones((8, 8), np.int32))
+    seg = SceneSegmenter(lambda *a, **k: None, {},
+                         InferenceConfig(patch_size=16,
+                                         border_correction=None))
+    paths = seg.export_patches(jnp.asarray(labels), tmp_path / "out")
+    assert len(paths) == 4
+    t0 = np.asarray(Image.open(paths[0]))
+    np.testing.assert_array_equal(t0, PALETTE[labels[:16, :16]])
+
+
 def test_scene_dataset_uses_native(lib, gid15_root):
     """SceneDataset must produce identical arrays through the native path."""
     from cvcs_tpu.data.reader import SceneDataset
