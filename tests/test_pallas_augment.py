@@ -1,0 +1,70 @@
+"""Fused augmentation kernel vs numpy reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvcs_tpu.ops.pallas_augment import fused_augment, random_fused_augment
+
+B, P, C = 3, 32, 3
+
+
+def _ref(images, flips, rots, factors, mean, std):
+    out = []
+    for i in range(images.shape[0]):
+        x = images[i].astype(np.float32)   # (P, P, C)
+        if flips[i] & 1:
+            x = x[:, ::-1]
+        if flips[i] & 2:
+            x = x[::-1]
+        x = np.rot90(x, k=int(rots[i]), axes=(0, 1))
+        gray = (0.2989 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])
+        m = np.round(gray).mean()
+        x = np.clip(factors[i] * x + (1 - factors[i]) * m, 0, 255)
+        x = (x - mean) / std
+        out.append(x)
+    return np.stack(out)
+
+
+def _data(seed=0, c=C):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 256, (B, P, P, c), np.uint8)
+    flips = rng.integers(0, 4, B).astype(np.int32)
+    rots = rng.integers(0, 4, B).astype(np.int32)
+    factors = rng.uniform(0.4, 1.6, B).astype(np.float32)
+    return images, flips, rots, factors
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_numpy_reference(seed):
+    images, flips, rots, factors = _data(seed)
+    mean = np.array([10.0, 20.0, 30.0], np.float32)
+    std = np.array([2.0, 3.0, 4.0], np.float32)
+    ours = np.asarray(fused_augment(
+        jnp.asarray(images), jnp.asarray(flips), jnp.asarray(rots),
+        jnp.asarray(factors), jnp.asarray(mean), jnp.asarray(std),
+        interpret=True))
+    ref = _ref(images, flips, rots, factors, mean, std)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_identity_transform_is_normalize_only():
+    images, _, _, _ = _data(2)
+    zeros = jnp.zeros((B,), jnp.int32)
+    ones = jnp.ones((B,), jnp.float32)
+    out = np.asarray(fused_augment(
+        jnp.asarray(images), zeros, zeros, ones,
+        jnp.zeros((C,)), jnp.ones((C,)), interpret=True))
+    np.testing.assert_allclose(out, images.astype(np.float32), atol=1e-4)
+
+
+def test_random_wrapper_shapes_and_determinism():
+    images, _, _, _ = _data(3)
+    a = random_fused_augment(jnp.asarray(images), jax.random.key(0),
+                             interpret=True)
+    b = random_fused_augment(jnp.asarray(images), jax.random.key(0),
+                             interpret=True)
+    assert a.shape == (B, P, P, C) and a.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
