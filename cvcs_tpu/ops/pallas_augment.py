@@ -47,12 +47,13 @@ except Exception:  # pragma: no cover
 
 def _augment_kernel(flips_ref, rots_ref, factors_ref,
                     img_ref, mean_ref, std_ref, out_ref):
-    # img_ref: (1, C, P, P) uint8; flips/rots: (1, 1) i32; factor: (1, 1) f32
-    # mean/std: (C, 1) f32; out: (1, C, P, P) f32
+    # scalar-prefetch refs hold the FULL (B,) arrays (SMEM); per-patch
+    # values are picked by grid position. img/out: (1, C, P, P) blocks.
+    i = pl.program_id(0)
     x = img_ref[0].astype(jnp.float32)       # (C, P, P)
-    flips = flips_ref[0, 0]
-    rot = rots_ref[0, 0]
-    factor = factors_ref[0, 0]
+    flips = flips_ref[i]
+    rot = rots_ref[i]
+    factor = factors_ref[i]
 
     # -- dihedral transform: flips then k x 90deg ccw ----------------------
     x = jax.lax.cond(flips & 1, lambda a: a[:, :, ::-1], lambda a: a, x)
@@ -94,25 +95,26 @@ def fused_augment(
     """One-pass augmented + normalized (B, P, P, C) f32."""
     b, p, _, c = images.shape
     planar = jnp.transpose(images, (0, 3, 1, 2))   # (B, C, P, P)
-    out = pl.pallas_call(
-        _augment_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=_SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=_SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=_SMEM),
-            pl.BlockSpec((1, c, p, p), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, p, p), lambda i, *_: (i, 0, 0, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((c, 1), lambda i, *_: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((c, 1), lambda i, *_: (0, 0), memory_space=_VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, p, p), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, c, p, p), lambda i, *_: (i, 0, 0, 0),
                                memory_space=_VMEM),
+    )
+    out = pl.pallas_call(
+        _augment_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, p, p), jnp.float32),
         interpret=interpret,
-    )(flips.reshape(b, 1).astype(jnp.int32),
-      rots.reshape(b, 1).astype(jnp.int32),
-      factors.reshape(b, 1).astype(jnp.float32),
+    )(flips.astype(jnp.int32),
+      rots.astype(jnp.int32),
+      factors.astype(jnp.float32),
       planar,
       band_mean.reshape(c, 1).astype(jnp.float32),
       band_std.reshape(c, 1).astype(jnp.float32))
