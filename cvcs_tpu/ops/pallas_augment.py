@@ -50,7 +50,8 @@ def _augment_kernel(flips_ref, rots_ref, factors_ref,
     # scalar-prefetch refs hold the FULL (B,) arrays (SMEM); per-patch
     # values are picked by grid position. img/out: (1, C, P, P) blocks.
     i = pl.program_id(0)
-    x = img_ref[0].astype(jnp.float32)       # (C, P, P)
+    # Mosaic has no unsigned->float cast; widen to int32 first.
+    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)   # (C, P, P)
     flips = flips_ref[i]
     rot = rots_ref[i]
     factor = factors_ref[i]
