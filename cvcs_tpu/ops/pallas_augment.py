@@ -57,18 +57,32 @@ def _augment_kernel(flips_ref, rots_ref, factors_ref,
     factor = factors_ref[i]
 
     # -- dihedral transform: flips then k x 90deg ccw ----------------------
-    x = jax.lax.cond(flips & 1, lambda a: a[:, :, ::-1], lambda a: a, x)
-    x = jax.lax.cond(flips & 2, lambda a: a[:, ::-1, :], lambda a: a, x)
+    # Mosaic has no array-reverse primitive; a reversal IS a matmul with
+    # the exchange matrix J (anti-diagonal permutation) — one tiny MXU op
+    # per plane. rot90 composes the transpose unit with a reversal.
+    p = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    exch = (rows + cols == p - 1).astype(jnp.float32)
 
-    def rot90(a):
-        return jnp.transpose(a, (0, 2, 1))[:, ::-1, :]
+    def rev_cols(a):   # a[:, :, ::-1] = a @ J
+        return jax.lax.dot_general(
+            a, exch, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def rev_rows(a):   # a[:, ::-1, :]
+        return jnp.transpose(rev_cols(jnp.transpose(a, (0, 2, 1))),
+                             (0, 2, 1))
+
+    x = jax.lax.cond(flips & 1, rev_cols, lambda a: a, x)
+    x = jax.lax.cond((flips >> 1) & 1, rev_rows, lambda a: a, x)
 
     x = jax.lax.switch(
         jnp.clip(rot, 0, 3),
         [lambda a: a,
-         rot90,
-         lambda a: a[:, ::-1, ::-1],
-         lambda a: jnp.transpose(a, (0, 2, 1))[:, :, ::-1]],
+         lambda a: rev_rows(jnp.transpose(a, (0, 2, 1))),
+         lambda a: rev_rows(rev_cols(a)),
+         lambda a: rev_cols(jnp.transpose(a, (0, 2, 1)))],
         x)
 
     # -- contrast jitter (torchvision adjust_contrast) ---------------------
