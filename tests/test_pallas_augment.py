@@ -60,6 +60,34 @@ def test_identity_transform_is_normalize_only():
     np.testing.assert_allclose(out, images.astype(np.float32), atol=1e-4)
 
 
+def test_fused_dihedral_masks_follow_images():
+    """Image dihedral (pallas) and mask dihedral (jnp) must agree: encode
+    the mask into the image's channel 0 and compare transforms."""
+    from cvcs_tpu.data.augment import AugmentConfig, fused_dihedral_augment
+
+    rng = np.random.default_rng(5)
+    masks = rng.integers(0, 16, (B, P, P)).astype(np.int32)
+    images = np.repeat(masks[..., None], 3, axis=-1).astype(np.uint8)
+    cfg = AugmentConfig(mode="fused", contrast=0.0)  # factor == 1: identity
+    out_img, out_msk = fused_dihedral_augment(
+        jnp.asarray(images), jnp.asarray(masks), jax.random.key(4), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(out_img[..., 0]).astype(np.int32), np.asarray(out_msk))
+
+
+def test_loader_fused_mode(gid15_root):
+    from cvcs_tpu.data.augment import AugmentConfig
+    from cvcs_tpu.data.loader import ChunkLoader
+    from tests.conftest import PATCH
+
+    loader = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=PATCH,
+                         augment=AugmentConfig(mode="fused"),
+                         load_context=False, seed=0)
+    chunk = loader.get_chunk(0)
+    assert chunk.images.dtype == jnp.uint8
+    assert chunk.images.shape[1:] == (PATCH, PATCH, 3)
+
+
 def test_random_wrapper_shapes_and_determinism():
     images, _, _, _ = _data(3)
     a = random_fused_augment(jnp.asarray(images), jax.random.key(0),
