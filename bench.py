@@ -89,7 +89,8 @@ def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4) -> float:
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
-    multi_step = make_multi_train_step(build_loss("CEL"))
+    multi_step = make_multi_train_step(build_loss("CEL"),
+                                       update_stats=False)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (k, bs, PATCH, PATCH, 3), np.uint8))

@@ -23,7 +23,7 @@ TRAIN_KEYS = {
     "precision_evaluation_freq", "num_classes", "load_color_mask",
     # framework extensions
     "precision", "mesh", "seed", "in_channels", "profile_dir",
-    "steps_per_call", "metrics_log",
+    "steps_per_call", "metrics_log", "bn_exact_stats",
 }
 EVAL_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "load_context",
