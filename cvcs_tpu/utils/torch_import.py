@@ -36,7 +36,10 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t, dtype=np.float32)
+    # copy=True: np.asarray over a torch tensor is a shared-memory view —
+    # subsequent in-place torch updates (opt.step()) would silently mutate
+    # the "imported" weights.
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def conv_w(w) -> np.ndarray:
