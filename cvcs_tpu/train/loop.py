@@ -62,12 +62,12 @@ class TrainConfig:
     # structured observability: JSONL per-epoch metrics (SURVEY §5 — the
     # reference has no structured logging)
     metrics_log: str | None = None
-    # True = reference-exact per-batch BN running-stat updates; False (the
-    # TPU-fast default, +30% step throughput) trains without materializing
-    # the stats update and refreshes running stats once per chunk instead
-    # (losses/gradients are identical either way — BN normalizes with the
-    # batch statistics in train mode regardless)
-    bn_exact_stats: bool = False
+    # True (default) = reference-exact per-batch BN running-stat updates;
+    # False trains without materializing the stats update and refreshes
+    # running stats once per chunk instead (identical losses/gradients —
+    # BN normalizes with batch statistics in train mode regardless; no
+    # measured wall-clock difference on v5e, kept as an option)
+    bn_exact_stats: bool = True
 
 
 class Trainer:

@@ -26,12 +26,15 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
     """Raw (unjitted) train step body shared by the single- and multi-step
     builders.
 
-    ``update_stats=False`` is the fast path: BN still normalizes with the
-    current batch's statistics (training semantics unchanged — losses and
-    gradients are identical), but the running-average update is discarded
-    so XLA can DCE its data flow. Measured on v5e at bs 128: 234 ms vs
-    334 ms per step (+30% throughput). Pair it with a periodic
-    :func:`make_stats_step` refresh so eval-time running stats stay fresh.
+    ``update_stats=False`` drops the BN running-average update from the
+    program: BN still normalizes with the current batch's statistics, so
+    losses and gradients are identical. Honest chained-dependency timing on
+    v5e (bs 128) shows no measurable wall-clock difference vs the exact
+    path (~330 ms either way — earlier apparent wins came from timing
+    independent repeats, see CLAUDE.md); the option is kept because it
+    shrinks the step's output set and pairs with :func:`make_stats_step`
+    for periodic refresh, but reference-exact per-step updates are the
+    default.
     """
 
     def train_step(state, image, mask, context, lr, dropout_key):
