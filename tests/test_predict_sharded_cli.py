@@ -1,0 +1,46 @@
+"""Predict CLI with mesh: {spatial: 8} — scene rows sharded over the
+8-virtual-device mesh with halo exchange, bit-identical to single-device."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cvcs_tpu.data.palette import PALETTE
+
+PATCH = 32  # UNet needs window sizes divisible by 16 (4 poolings)
+
+
+@pytest.fixture(scope="module")
+def tall_root(tmp_path_factory):
+    """Scene with 8 tile rows so the spatial axis divides evenly."""
+    root = tmp_path_factory.mktemp("gid_tall")
+    for d in ("Image__8bit_NirRGB", "Annotation__index", "Annotation__color"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(0)
+    mask = np.kron(rng.integers(0, 16, (32, 8), dtype=np.uint8),
+                   np.ones((8, 8), np.uint8))      # 256 x 64 = 8 x 2 tiles
+    img = np.repeat(mask[..., None], 3, axis=-1)
+    Image.fromarray(img).save(root / "Image__8bit_NirRGB" / "s0.png")
+    Image.fromarray(mask).save(root / "Annotation__index" / "s0_15label.png")
+    Image.fromarray(PALETTE[mask]).save(
+        root / "Annotation__color" / "s0_15label.tif")
+    return root
+
+
+def test_predict_cli_spatial_mesh(tall_root, tmp_path):
+    from cvcs_tpu.cli import predict as predict_cli
+
+    out_single = tmp_path / "single.png"
+    out_sharded = tmp_path / "sharded.png"
+    base = dict(
+        dataset=str(tall_root), net="Unet", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        mask_only=True, output=str(tmp_path / "p1"),
+    )
+    predict_cli.predict(dict(base, out_image=str(out_single)))
+    predict_cli.predict(dict(base, out_image=str(out_sharded),
+                             output=str(tmp_path / "p2"),
+                             mesh={"data": 1, "spatial": 8}))
+    a = np.asarray(Image.open(out_single))
+    b = np.asarray(Image.open(out_sharded))
+    np.testing.assert_array_equal(a, b)
