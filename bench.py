@@ -146,7 +146,7 @@ def bench_infer(scene_px: int = 2048) -> float:
         return time.time() - t0
 
     t1 = timed(1)
-    reps = 3
+    reps = 6   # higher rep count: the tunnel adds run-to-run variance
     tn = timed(1 + reps)
     return n_tiles * reps / max(tn - t1, 1e-9) / SCALE_512
 
