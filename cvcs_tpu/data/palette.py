@@ -8,6 +8,7 @@ per-class boolean-masking loop (`converters.py:23-37`).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,11 +76,18 @@ class GID15Palette:
 
         Out-of-palette labels render white, matching the reference's
         ones-initialized output (`converters.py:33`, quirk 9).
+
+        Implemented as one-hot x (16, 3) palette matmul — per-pixel table
+        gathers are pathologically slow on TPU (same lesson as the CE loss,
+        see ops/losses.py); the one-hot contraction streams on the MXU.
         """
         mask = jnp.asarray(mask)
         table = jnp.asarray(PALETTE, jnp.float32) / 255.0
         valid = (mask >= 0) & (mask < NUM_CLASSES)
-        rgb = table[jnp.clip(mask, 0, NUM_CLASSES - 1)]
+        onehot = jax.nn.one_hot(
+            jnp.clip(mask, 0, NUM_CLASSES - 1), NUM_CLASSES,
+            dtype=jnp.float32)
+        rgb = onehot @ table
         return jnp.where(valid[..., None], rgb, 1.0)
 
     def decode_u8(self, mask):

@@ -47,11 +47,18 @@ def update_confusion(
     valid = (t >= 0) & (t < num_classes) & (p >= 0) & (p < num_classes)
     if ignore_index is not None:
         valid &= t != ignore_index
-    flat = t * num_classes + p
-    # invalid pixels scatter to an overflow bin that is sliced away
-    flat = jnp.where(valid, flat, num_classes * num_classes)
-    counts = jnp.bincount(flat, length=num_classes * num_classes + 1)
-    return conf + counts[:-1].reshape(num_classes, num_classes)
+    # One-hot contraction instead of bincount scatter: conf = T^T @ P with
+    # T/P the (N, C) one-hots — a (C, N) x (N, C) matmul that streams on
+    # the MXU (TPU scatters/gathers are slow; same lesson as ops/losses.py).
+    # f32 accumulation is exact up to 2^24 pixels per batch per cell; the
+    # drivers fold into an int64 host total per chunk (HostConfusion).
+    t_onehot = jax.nn.one_hot(jnp.where(valid, t, num_classes),
+                              num_classes, dtype=jnp.float32)
+    p_onehot = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    batch = jax.lax.dot_general(
+        t_onehot, p_onehot, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return conf + batch.astype(jnp.int32)
 
 
 def normalize_rows(conf) -> np.ndarray | jnp.ndarray:
