@@ -150,17 +150,31 @@ class SceneSegmenter:
         canvas, _ = lax.scan(step, canvas, origins)
         return canvas
 
-    def predict_scene(self, scene: np.ndarray | jnp.ndarray) -> jnp.ndarray:
-        """Scene (H, W, C) uint8 -> on-device (H', W') int32 label map, where
-        H'/W' are the largest tile-aligned dims (reference drops partial
-        tiles, `dataset.py:63-64`)."""
+    def pad_scene(self, scene: np.ndarray | jnp.ndarray):
+        """Upload + zero-pad a scene once; returns (scene_pad, rows, cols)
+        for :meth:`predict_padded`. Splitting upload from compute lets
+        callers overlap the next scene's host->device transfer with the
+        current scene's forward (and keeps benchmarks honest — the
+        transfer is per-scene work, not per-inference work)."""
         p = self.cfg.patch_size
         bc, _ = self._window()
         pad = bc - p
         grid = TileGrid((scene.shape[0], scene.shape[1]), p)
         scene = jnp.asarray(scene)
         scene_pad = jnp.pad(scene, ((pad, pad), (pad, pad), (0, 0)))
-        return self._run_jit(self.variables, scene_pad, grid.rows, grid.cols)
+        return scene_pad, grid.rows, grid.cols
+
+    def predict_padded(self, scene_pad: jnp.ndarray, rows: int,
+                       cols: int) -> jnp.ndarray:
+        """Run the jitted whole-scene program on a pre-padded device scene."""
+        return self._run_jit(self.variables, scene_pad, rows, cols)
+
+    def predict_scene(self, scene: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """Scene (H, W, C) uint8 -> on-device (H', W') int32 label map, where
+        H'/W' are the largest tile-aligned dims (reference drops partial
+        tiles, `dataset.py:63-64`)."""
+        scene_pad, rows, cols = self.pad_scene(scene)
+        return self.predict_padded(scene_pad, rows, cols)
 
     # -- multi-device spatially-sharded path -----------------------------------
     def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:
