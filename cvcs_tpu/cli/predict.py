@@ -52,12 +52,18 @@ def predict(config: dict) -> None:
     scenes = sorted({i // tpi for i in range(lb, ub)})
 
     out_dir = Path(config.get("output", "output"))
-    for s in scenes:
-        scene = dataset.load_image(s)
+    # pipeline: decode+upload scene s+1 while scene s computes (dispatch is
+    # async; the export below is the only sync point)
+    staged = None
+    for idx, s in enumerate(scenes):
         if mesh is not None:
-            labels = seg.predict_scene_sharded(scene, mesh)
+            labels = seg.predict_scene_sharded(dataset.load_image(s), mesh)
         else:
-            labels = seg.predict_scene(scene)
+            if staged is None:
+                staged = seg.pad_scene(dataset.load_image(s))
+            labels = seg.predict_padded(*staged)
+            staged = (seg.pad_scene(dataset.load_image(scenes[idx + 1]))
+                      if idx + 1 < len(scenes) else None)
         if infer_cfg.mask_only:
             seg.export_patches(labels, out_dir, start_index=s * tpi)
         else:
