@@ -65,7 +65,8 @@ def predict(config: dict) -> None:
             staged = (seg.pad_scene(dataset.load_image(scenes[idx + 1]))
                       if idx + 1 < len(scenes) else None)
         if infer_cfg.mask_only:
-            seg.export_patches(labels, out_dir, start_index=s * tpi)
+            seg.export_patches(labels, out_dir, start_index=s * tpi,
+                               keep=range(lb, ub))
         else:
             # 3-panel figures with ground truth when masks exist
             try:

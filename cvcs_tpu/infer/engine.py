@@ -215,7 +215,8 @@ class SceneSegmenter:
 
     # -- exports ----------------------------------------------------------------
     def export_patches(self, labels: jnp.ndarray, out_dir,
-                       start_index: int = 0) -> list:
+                       start_index: int = 0,
+                       keep: "range | set | None" = None) -> list:
         """Per-tile color-mask PNGs named ``{i}.png`` in row-major order —
         the reference's per-patch output contract (`utils.py:161-171`).
 
@@ -238,6 +239,10 @@ class SceneSegmenter:
         for r in range(rows):
             for c in range(cols):
                 i = start_index + r * cols + c
+                if keep is not None and i not in keep:
+                    # reference `range: [lb, ub]` exports only the selected
+                    # global patch indices (`inference.py:30-37`)
+                    continue
                 tile = rgb[r * p:(r + 1) * p, c * p:(c + 1) * p]
                 path = out_dir / f"{i}.png"
                 if use_native:
