@@ -34,9 +34,11 @@ def evaluate(config: dict) -> dict:
 
     if config["net"] == "Ensemble":
         ens = common.build_ensemble(config, config["patch_size"])
+        import jax
 
-        def predict(image, context):
-            return ens(image.astype(jnp.float32), context)
+        # the whole member-forwards + one-hot vote jits into one program
+        predict = jax.jit(
+            lambda image, context: ens(image.astype(jnp.float32), context))
     else:
         model, spec, _ = common.build_net(config)
         variables = common.restore_variables(config, model,
