@@ -42,6 +42,22 @@ def _to_jsonable(x):
     return x
 
 
+_async_ckptr: "ocp.AsyncCheckpointer | None" = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint write lands."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
     directory: str | Path,
     epoch: int,
@@ -52,18 +68,29 @@ def save_checkpoint(
     optimizer: str,
     conf_flat: Any = None,
     conf_normalized: Any = None,
+    async_save: bool = False,
 ) -> Path:
-    """Write ``<dir>/checkpoint{epoch+1}`` (name parity: `utils.py:142`)."""
+    """Write ``<dir>/checkpoint{epoch+1}`` (name parity: `utils.py:142`).
+
+    ``async_save=True`` overlaps the array write with the next epoch's
+    compute (Orbax AsyncCheckpointer); call :func:`wait_for_saves` before
+    process exit or before restoring the same path.
+    """
     directory = Path(directory)
     path = directory / f"checkpoint{epoch + 1}"
-    ckptr = ocp.PyTreeCheckpointer()
     tree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    ckptr.save((path / "state").absolute(), tree, force=True)
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()   # at most one write in flight
+        ckptr.save((path / "state").absolute(), tree, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(
+            (path / "state").absolute(), tree, force=True)
     meta = {
         "epoch": epoch,
         "training_loss_values": [float(v) for v in train_loss],

@@ -68,6 +68,8 @@ class TrainConfig:
     # BN normalizes with batch statistics in train mode regardless; no
     # measured wall-clock difference on v5e, kept as an option)
     bn_exact_stats: bool = True
+    # overlap checkpoint writes with the next epoch (Orbax async)
+    async_checkpoints: bool = False
 
 
 class Trainer:
@@ -258,9 +260,11 @@ class Trainer:
                                for m in self.conf_history],
                     conf_normalized=[
                         np.asarray(confusion.normalize_rows(m)).tolist()
-                        for m in self.conf_history])
+                        for m in self.conf_history],
+                    async_save=cfg.async_checkpoints)
                 self.log(f"Saved checkpoint {epoch + 1}")
 
+        ckpt_lib.wait_for_saves()   # land any in-flight async checkpoint
         self.log("Training Done!")
         if self.training_loss_values:
             self.log(f"Reached training loss: {self.training_loss_values[-1]}")

@@ -1,0 +1,57 @@
+"""Async checkpointing: writes land after wait_for_saves and restore
+identically to synchronous saves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvcs_tpu.data.loader import ChunkLoader
+from cvcs_tpu.models import build_model
+from cvcs_tpu.ops.losses import build_loss
+from cvcs_tpu.train import (
+    TrainConfig, Trainer, build_optimizer, create_train_state,
+)
+from cvcs_tpu.train import checkpoint as ckpt_lib
+
+PATCH = 32
+
+
+def test_async_save_roundtrip(tmp_path):
+    model, spec = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, PATCH, PATCH, 3), jnp.uint8))
+    ckpt_lib.save_checkpoint(tmp_path, 0, state, [1.0], [2.0], 4, "SGD2",
+                             async_save=True)
+    ckpt_lib.wait_for_saves()
+    restored, meta = ckpt_lib.load_checkpoint(tmp_path / "checkpoint1",
+                                              state)
+    assert meta["epoch"] == 0 and meta["batch_size"] == 4
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_async_checkpoints(gid15_root, tmp_path):
+    loader = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=PATCH,
+                         load_context=False, seed=0)
+    val = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=PATCH,
+                      load_context=False, seed=1)
+    loader.specify([0, 1])
+    val.specify([0])
+    model, spec = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((4, PATCH, PATCH, 3), jnp.uint8))
+    cfg = TrainConfig(epochs=2, batch_size=4,
+                      checkpoint_directory=str(tmp_path), freq=1,
+                      precision_evaluation_freq=9, num_classes=15,
+                      async_checkpoints=True)
+    trainer = Trainer(model, spec, state, optimizer, build_loss("CEL"),
+                      loader, val, cfg, log=lambda s: None)
+    trainer.train()   # calls wait_for_saves() at the end
+    assert (tmp_path / "checkpoint1" / "meta.json").exists()
+    assert (tmp_path / "checkpoint2" / "meta.json").exists()
+    _, meta = ckpt_lib.load_checkpoint(tmp_path / "checkpoint2",
+                                       trainer.state)
+    assert meta["epoch"] == 1
