@@ -64,8 +64,13 @@ def restore_variables(config: dict, model, patch_size: int):
     ``torch.save`` pickle and goes through the torch importer (incl. the
     wrappers' DataParallel prefix rewrites) — published reference
     checkpoints work directly in the evaluate/predict CLIs.
+
+    ``in_channels`` follows the config so 4-band multispectral checkpoints
+    (train-side ``in_channels: 4``) restore without first-conv shape
+    mismatches.
     """
-    variables = init_variables(model, patch_size)
+    variables = init_variables(model, patch_size,
+                               in_channels=int(config.get("in_channels", 3)))
     ckpt = config.get("load_checkpoint")
     if ckpt:
         if Path(ckpt).is_file():

@@ -38,7 +38,8 @@ def predict(config: dict) -> None:
         batch_tiles=int(config.get("batch_tiles", 16)),
         num_classes=num_classes,
         bug_parity=bool(config.get("bug_parity")),
-        mask_only=bool(config.get("mask_only", True)),
+        # reference default: 3-panel figures (`inference.py:36`)
+        mask_only=bool(config.get("mask_only", False)),
         tta=bool(config.get("tta")))
     seg = SceneSegmenter(model.apply, variables, infer_cfg,
                          returns_logits=spec.returns_logits,
@@ -52,30 +53,59 @@ def predict(config: dict) -> None:
     scenes = sorted({i // tpi for i in range(lb, ub)})
 
     out_dir = Path(config.get("output", "output"))
+
+    def load_gt(s, h, w):
+        """Index mask for 3-panel figures, when annotations exist."""
+        try:
+            return dataset.load_index_mask(s)[:h, :w]
+        except FileNotFoundError:
+            return None
+
     # pipeline: decode+upload scene s+1 while scene s computes (dispatch is
-    # async; the export below is the only sync point)
+    # async; the export below is the only sync point). `staged` carries the
+    # raw scene alongside the padded device copy for the figures branch.
     staged = None
     for idx, s in enumerate(scenes):
+        sel = [i - s * tpi for i in range(max(lb, s * tpi),
+                                          min(ub, (s + 1) * tpi))]
+        # Few-patch economics (reference `inference.py:30-37` forwards only
+        # the selected patches): when the range covers a minority of the
+        # scene and no stitched map is requested, compute just those tiles.
+        if (len(sel) * 4 <= tpi and not config.get("out_image")
+                and mesh is None):
+            raw = dataset.load_image(s)
+            tiles = seg.predict_tiles(raw, sel)
+            global_ids = [s * tpi + t for t in sel]
+            if infer_cfg.mask_only:
+                seg.export_tile_patches(tiles, global_ids, out_dir)
+            else:
+                gt = load_gt(s, grid.rows * p, grid.cols * p)
+                seg.export_tile_figures(tiles, global_ids, sel, raw,
+                                        grid.cols, out_dir, gt_mask=gt)
+            print(f"Scene {s}: {len(sel)} patches -> {out_dir}", flush=True)
+            continue
+
         if mesh is not None:
-            labels = seg.predict_scene_sharded(dataset.load_image(s), mesh)
+            raw = dataset.load_image(s)
+            labels = seg.predict_scene_sharded(raw, mesh)
         else:
             if staged is None:
-                staged = seg.pad_scene(dataset.load_image(s))
-            labels = seg.predict_padded(*staged)
-            staged = (seg.pad_scene(dataset.load_image(scenes[idx + 1]))
-                      if idx + 1 < len(scenes) else None)
+                raw0 = dataset.load_image(s)
+                staged = (seg.pad_scene(raw0), raw0)
+            (padded, rows, cols), raw = staged
+            labels = seg.predict_padded(padded, rows, cols)
+            if idx + 1 < len(scenes):
+                raw1 = dataset.load_image(scenes[idx + 1])
+                staged = ((seg.pad_scene(raw1)), raw1)
+            else:
+                staged = None
         if infer_cfg.mask_only:
             seg.export_patches(labels, out_dir, start_index=s * tpi,
                                keep=range(lb, ub))
         else:
-            # 3-panel figures with ground truth when masks exist
-            try:
-                gt = dataset.load_index_mask(s)[
-                    :labels.shape[0], :labels.shape[1]]
-            except FileNotFoundError:
-                gt = None
-            seg.export_figures(labels, scene, out_dir, gt_mask=gt,
-                               start_index=s * tpi)
+            gt = load_gt(s, labels.shape[0], labels.shape[1])
+            seg.export_figures(labels, raw, out_dir, gt_mask=gt,
+                               start_index=s * tpi, keep=range(lb, ub))
         if config.get("out_image"):
             out_path = config["out_image"]
             if len(scenes) > 1:

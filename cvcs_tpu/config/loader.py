@@ -30,13 +30,13 @@ EVAL_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "load_context",
     "load_color_mask", "num_classes", "ignore_background", "verbose",
     "confusion_matrix", "priors", "images", "device", "ensemble_config",
-    "precision", "batch_size",
+    "precision", "batch_size", "in_channels",
 }
 INFER_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "border_correction",
     "range", "mask_only", "out_image", "num_classes", "device", "output",
     "precision", "bug_parity", "batch_tiles", "load_context", "verbose",
-    "mesh", "tta",
+    "mesh", "tta", "in_channels",
 }
 
 

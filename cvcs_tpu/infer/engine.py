@@ -52,7 +52,9 @@ class InferenceConfig:
     batch_tiles: int = 16                 # windows per forward
     num_classes: int = 16
     bug_parity: bool = False              # reference's anchored windows
-    mask_only: bool = True                # bare color PNG vs 3-panel figure
+    # bare color PNG vs 3-panel figure; reference default is False
+    # (`inference.py:36`, `utils.py:145`)
+    mask_only: bool = False
     # test-time augmentation: average logits over the dihedral flips
     # (identity, lr-flip, ud-flip, 180) — BASELINE config 5's "TTA +
     # overlap stitching" path. Requires returns_logits models.
@@ -80,6 +82,8 @@ class SceneSegmenter:
         # and the geometry are static via closure.
         self._run_jit = jax.jit(self._run_scene,
                                 static_argnames=("rows", "cols"))
+        self._run_tiles_jit = jax.jit(self._run_tiles,
+                                      static_argnames=("cols",))
 
     # -- geometry ------------------------------------------------------------
     def _window(self) -> tuple[int, int]:
@@ -89,6 +93,40 @@ class SceneSegmenter:
         margin = bc - p
         off = margin if self.cfg.bug_parity else margin // 2
         return bc, off
+
+    # -- window-batch forward (shared by scene + selected-tiles paths) --------
+    def _labels_for_windows(self, variables, scene_pad, wy, wx):
+        """Gather bc-windows at padded coords (wy, wx), forward (with
+        optional dihedral-flip TTA), argmax, center-crop back to the tile:
+        (B,) origin vectors -> (B, p, p) int32 labels."""
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+
+        def gather(y, x):
+            return lax.dynamic_slice(
+                scene_pad, (y, x, 0), (bc, bc, scene_pad.shape[2]))
+
+        def forward(wins):
+            return self.apply_fn(variables, wins, context=None, train=False)
+
+        wins = jax.vmap(gather)(wy, wx).astype(jnp.float32)
+        if self.cfg.tta and self.returns_logits:
+            # dihedral-flip TTA, logits averaged in the input frame
+            out = forward(wins)
+            out = out + forward(wins[:, :, ::-1])[:, :, ::-1]
+            out = out + forward(wins[:, ::-1])[:, ::-1]
+            out = out + forward(wins[:, ::-1, ::-1])[:, ::-1, ::-1]
+            out = out / 4.0
+        else:
+            out = forward(wins)
+        if self.returns_logits:
+            lab = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        else:
+            lab = out.astype(jnp.int32)
+        # center-crop the label window back to the tile
+        crop0 = (bc - p) // 2
+        return lax.dynamic_slice(
+            lab, (0, crop0, crop0), (lab.shape[0], p, p))
 
     # -- single-device whole-scene path ---------------------------------------
     def _run_scene(self, variables, scene_pad: jnp.ndarray, rows: int,
@@ -111,32 +149,9 @@ class SceneSegmenter:
         origins = jnp.stack(
             [wy, wx, tly, tlx], axis=1).reshape(n_batches, bt, 4)
 
-        def gather(o):
-            return lax.dynamic_slice(
-                scene_pad, (o[0], o[1], 0), (bc, bc, scene_pad.shape[2]))
-
-        def forward(wins):
-            return self.apply_fn(variables, wins, context=None, train=False)
-
         def step(canvas, obatch):
-            wins = jax.vmap(gather)(obatch).astype(jnp.float32)
-            if self.cfg.tta and self.returns_logits:
-                # dihedral-flip TTA, logits averaged in the input frame
-                out = forward(wins)
-                out = out + forward(wins[:, :, ::-1])[:, :, ::-1]
-                out = out + forward(wins[:, ::-1])[:, ::-1]
-                out = out + forward(wins[:, ::-1, ::-1])[:, ::-1, ::-1]
-                out = out / 4.0
-            else:
-                out = forward(wins)
-            if self.returns_logits:
-                lab = jnp.argmax(out, axis=-1).astype(jnp.int32)
-            else:
-                lab = out.astype(jnp.int32)
-            # center-crop the label window back to the tile
-            crop0 = (bc - p) // 2
-            lab = lax.dynamic_slice(
-                lab, (0, crop0, crop0), (lab.shape[0], p, p))
+            lab = self._labels_for_windows(
+                variables, scene_pad, obatch[:, 0], obatch[:, 1])
 
             def put(cv, i):
                 return lax.dynamic_update_slice(
@@ -149,6 +164,39 @@ class SceneSegmenter:
             (rows * p, cols * p), jnp.int32)
         canvas, _ = lax.scan(step, canvas, origins)
         return canvas
+
+    # -- selected-tiles path (reference `range` economics) ---------------------
+    def _run_tiles(self, variables, scene_pad: jnp.ndarray,
+                   ids: jnp.ndarray, cols: int):
+        """Forward ONLY the tiles whose row-major local ids are in ``ids``
+        — the reference's ``range: [lb, ub]`` forwards just the selected
+        patches (`inference.py:30-37`, `utils.py:150-156`); paper-figure
+        configs render a handful of tiles, not whole scenes. Returns
+        (len(ids), p, p) int32 labels."""
+        p = self.cfg.patch_size
+        bc, off = self._window()
+        pad = bc - p
+        n = ids.shape[0]
+        bt = min(self.cfg.batch_tiles, n)
+        n_batches = -(-n // bt)
+        idx = jnp.concatenate(
+            [ids, jnp.broadcast_to(ids[:1], (n_batches * bt - n,))])
+        wy = ((idx // cols) * p + pad - off).reshape(n_batches, bt)
+        wx = ((idx % cols) * p + pad - off).reshape(n_batches, bt)
+
+        def step(_, yx):
+            return None, self._labels_for_windows(
+                variables, scene_pad, yx[0], yx[1])
+
+        _, labs = lax.scan(step, None, (wy, wx))
+        return labs.reshape(n_batches * bt, p, p)[:n]
+
+    def predict_tiles(self, scene, tile_ids) -> jnp.ndarray:
+        """Labels for a list of row-major local tile indices of one scene:
+        (len(tile_ids), p, p) int32, computing only those windows."""
+        scene_pad, _, cols = self.pad_scene(scene)
+        ids = jnp.asarray(np.asarray(tile_ids, np.int32))
+        return self._run_tiles_jit(self.variables, scene_pad, ids, cols)
 
     def pad_scene(self, scene: np.ndarray | jnp.ndarray):
         """Upload + zero-pad a scene once; returns (scene_pad, rows, cols)
@@ -267,15 +315,32 @@ class SceneSegmenter:
         rgb = np.asarray(self.palette.decode_u8(labels))
         Image.fromarray(rgb).save(path)
 
-    def export_figures(self, labels: jnp.ndarray, scene, out_dir,
-                       gt_mask=None, start_index: int = 0) -> list:
-        """Per-tile 3-panel figures (image / ground truth / prediction) —
-        the reference's ``mask_only=False`` output (`utils.py:161-166`)."""
-        from pathlib import Path
-
+    def _write_figure(self, path, image_tile, pred_rgb_tile, gt_rgb_tile):
+        """One 3-panel (image / [ground truth] / prediction) figure — the
+        reference's ``mask_only=False`` tile output (`utils.py:161-166`)."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        panels = [("patch", image_tile[..., :3].astype(np.uint8))]
+        if gt_rgb_tile is not None:
+            panels.append(("ground truth", gt_rgb_tile))
+        panels.append(("prediction", pred_rgb_tile))
+        fig, axes = plt.subplots(1, len(panels),
+                                 figsize=(4 * len(panels), 4))
+        for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+            ax.imshow(img)
+            ax.set_title(title)
+            ax.axis("off")
+        fig.savefig(path, bbox_inches="tight", dpi=80)
+        plt.close(fig)
+
+    def export_figures(self, labels: jnp.ndarray, scene, out_dir,
+                       gt_mask=None, start_index: int = 0,
+                       keep: "range | set | None" = None) -> list:
+        """Per-tile 3-panel figures from a full-scene label canvas; ``keep``
+        filters to the reference's ``range`` global patch indices."""
+        from pathlib import Path
 
         p = self.cfg.patch_size
         out_dir = Path(out_dir)
@@ -289,19 +354,56 @@ class SceneSegmenter:
         for r in range(rows):
             for c in range(cols):
                 i = start_index + r * cols + c
+                if keep is not None and i not in keep:
+                    continue
                 sl = (slice(r * p, (r + 1) * p), slice(c * p, (c + 1) * p))
-                panels = [("patch", scene[sl][..., :3].astype(np.uint8))]
-                if gt_rgb is not None:
-                    panels.append(("ground truth", gt_rgb[sl]))
-                panels.append(("prediction", pred_rgb[sl]))
-                fig, axes = plt.subplots(1, len(panels),
-                                         figsize=(4 * len(panels), 4))
-                for ax, (title, img) in zip(np.atleast_1d(axes), panels):
-                    ax.imshow(img)
-                    ax.set_title(title)
-                    ax.axis("off")
                 path = out_dir / f"{i}.png"
-                fig.savefig(path, bbox_inches="tight", dpi=80)
-                plt.close(fig)
+                self._write_figure(
+                    path, scene[sl],
+                    pred_rgb[sl], None if gt_rgb is None else gt_rgb[sl])
                 paths.append(path)
+        return paths
+
+    # -- per-tile exports for the selected-tiles path ---------------------------
+    def export_tile_patches(self, tiles: jnp.ndarray, global_ids,
+                            out_dir) -> list:
+        """Color-mask PNGs for :meth:`predict_tiles` output: ``tiles`` is
+        (N, p, p) labels, ``global_ids`` the reference global patch indices
+        naming the files (`utils.py:168-171`)."""
+        from pathlib import Path
+
+        from PIL import Image
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rgb = np.asarray(self.palette.decode_u8(tiles))
+        paths = []
+        for k, i in enumerate(global_ids):
+            path = out_dir / f"{i}.png"
+            Image.fromarray(rgb[k]).save(path)
+            paths.append(path)
+        return paths
+
+    def export_tile_figures(self, tiles: jnp.ndarray, global_ids, local_ids,
+                            scene, cols: int, out_dir, gt_mask=None) -> list:
+        """3-panel figures for :meth:`predict_tiles` output; tile crops of
+        ``scene``/``gt_mask`` are taken from the local row-major ids."""
+        from pathlib import Path
+
+        p = self.cfg.patch_size
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pred_rgb = np.asarray(self.palette.decode(tiles))
+        scene = np.asarray(scene)
+        gt_rgb = (None if gt_mask is None
+                  else np.asarray(self.palette.decode(np.asarray(gt_mask))))
+        paths = []
+        for k, (gi, li) in enumerate(zip(global_ids, local_ids)):
+            r, c = divmod(int(li), cols)
+            sl = (slice(r * p, (r + 1) * p), slice(c * p, (c + 1) * p))
+            path = out_dir / f"{gi}.png"
+            self._write_figure(
+                path, scene[sl],
+                pred_rgb[k], None if gt_rgb is None else gt_rgb[sl])
+            paths.append(path)
         return paths

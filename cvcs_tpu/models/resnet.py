@@ -135,6 +135,11 @@ class ResNet(nn.Module):
                     dilation=prev_dilation if b == 0 else dilation,
                     **kw,
                 )(x, train)
+            if stage == len(self.stage_sizes) - 1:
+                # TP hook: stage-4's 2048-ch activations shard over channels
+                # under parallel.tp.tensor_parallel.
+                from cvcs_tpu.parallel import tp as _tp
+                x = _tp.constrain(x)
             feats[f"stage{stage + 1}"] = x
             if stage == 2:
                 feats["aux"] = x

@@ -161,6 +161,11 @@ class MiTEncoder(nn.Module):
                                   **kw)(tokens, (h, w))
             tokens = nn.LayerNorm(**kw)(tokens)
             x = tokens.reshape(b, h, w, c)
+            if stage == 3:
+                # TP hook: stage-4 channels shard over the mesh axis under
+                # parallel.tp.tensor_parallel (512-ch for B1/B3).
+                from cvcs_tpu.parallel import tp as _tp
+                x = _tp.constrain(x)
             feats.append(x)
         return feats
 

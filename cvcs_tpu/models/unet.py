@@ -73,6 +73,10 @@ class UNet(nn.Module):
         x = jnp.asarray(x, self.dtype)
         x1, x2, x3, x4, x5 = _Encoder(
             dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+        # TP hook: under parallel.tp.tensor_parallel the 1024-ch bottleneck
+        # activation is pinned channel-sharded so its convs compute sharded.
+        from cvcs_tpu.parallel import tp as _tp
+        x5 = _tp.constrain(x5)
 
         def up(y):
             if self.upsample == "bilinear":

@@ -45,9 +45,3 @@ def sharded_rows(total_rows: int, axis_size: int) -> int:
         raise ValueError(
             f"{total_rows} rows do not shard evenly over {axis_size} devices")
     return total_rows // axis_size
-
-
-def infeed_sharding_note() -> str:  # pragma: no cover - documentation helper
-    return (
-        "Shard scenes by contiguous row-strips on the 'spatial' axis; halo "
-        "exchange keeps border-corrected windows exact at strip seams.")

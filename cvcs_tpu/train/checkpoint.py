@@ -176,13 +176,22 @@ def load_model_variables(path: str | Path, template: dict) -> dict:
 
 
 def latest_checkpoint(directory: str | Path) -> Path | None:
-    """Highest-numbered ``checkpoint{N}`` under ``directory``, or None."""
+    """Highest-numbered *finalized* ``checkpoint{N}`` under ``directory``.
+
+    A checkpoint is finalized once Orbax's atomic rename lands the
+    ``state`` subdirectory; with ``async_save=True`` meta.json is written
+    while the array write is still in flight, so a crash can leave a
+    ``checkpoint{N}/`` holding only meta.json (or an
+    ``*.orbax-checkpoint-tmp-*`` dir). Skipping those keeps
+    ``load_checkpoint: auto`` crash-resumable — it falls back to the last
+    complete epoch instead of dying on a half-written one.
+    """
     directory = Path(directory)
     if not directory.is_dir():
         return None
     best, best_n = None, -1
     for child in directory.iterdir():
         m = _CKPT_RE.match(child.name)
-        if m and int(m.group(1)) > best_n:
+        if m and int(m.group(1)) > best_n and (child / "state").is_dir():
             best, best_n = child, int(m.group(1))
     return best

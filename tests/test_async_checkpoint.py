@@ -55,3 +55,20 @@ def test_trainer_async_checkpoints(gid15_root, tmp_path):
     _, meta = ckpt_lib.load_checkpoint(tmp_path / "checkpoint2",
                                        trainer.state)
     assert meta["epoch"] == 1
+
+
+def test_latest_checkpoint_skips_unfinalized(tmp_path):
+    """A crash between async-save enqueue and Orbax finalization leaves
+    checkpoint{N}/meta.json with no `state` dir; `load_checkpoint: auto`
+    must fall back to the last complete checkpoint (ADVICE r1 medium)."""
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, PATCH, PATCH, 3), jnp.uint8))
+    ckpt_lib.save_checkpoint(tmp_path, 0, state, [1.0], [2.0], 4, "SGD2")
+    # simulate the torn epoch-2 write: meta only, no finalized state
+    broken = tmp_path / "checkpoint2"
+    broken.mkdir()
+    (broken / "meta.json").write_text("{}")
+    got = ckpt_lib.latest_checkpoint(tmp_path)
+    assert got is not None and got.name == "checkpoint1"

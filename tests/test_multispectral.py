@@ -60,3 +60,30 @@ def test_4band_unet_too(gid4band_root):
         {"params": jax.random.key(0)}, x, train=False)
     out = model.apply(v, x, train=False)
     assert out.shape == (1, PATCH, PATCH, 16)
+
+
+def test_eval_predict_restore_4band(gid4band_root, tmp_path):
+    """A checkpoint trained with in_channels=4 restores through the
+    evaluate/predict plumbing when the config carries `in_channels`
+    (ADVICE r1: EVAL/INFER_KEYS rejected the key and init hardcoded 3)."""
+    from cvcs_tpu.cli import common
+    from cvcs_tpu.config.loader import EVAL_KEYS, INFER_KEYS
+    from cvcs_tpu.train import checkpoint as ckpt_lib
+
+    assert "in_channels" in EVAL_KEYS and "in_channels" in INFER_KEYS
+
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD1")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, PATCH, PATCH, 4), jnp.uint8))
+    ckpt_lib.save_checkpoint(tmp_path, 0, state, [], [], 4, "SGD1")
+
+    cfg = dict(net="Unet", num_classes=15, in_channels=4,
+               load_checkpoint=str(tmp_path / "checkpoint1"),
+               precision="f32")
+    # with the round-1 hardcoded in_channels=3 this raised a shape
+    # mismatch in jnp_leaf_cast; success means the 4-band template matched
+    variables = common.restore_variables(cfg, model, PATCH)
+    kernels = [l for l in jax.tree_util.tree_leaves(variables["params"])
+               if getattr(l, "ndim", 0) == 4]
+    assert any(k.shape[2] == 4 for k in kernels)  # a conv consumes 4 bands

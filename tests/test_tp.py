@@ -1,5 +1,14 @@
-"""Tensor-parallel channel sharding: sharded params must produce the same
-forward as replicated params on the 8-virtual-device mesh."""
+"""Tensor parallelism must be real, not placement-only (round-1 Weak #4):
+
+* numerics: TP forward == replicated forward;
+* compiled HLO contains cross-device collectives;
+* compiled HLO computes the bottleneck conv at the PER-PARTITION channel
+  width (C / n_devices) — sharded compute, not an all-gather back to
+  replicated math;
+* per-device parameter memory for sharded kernels is 1/n of replicated.
+"""
+
+import re
 
 import jax
 import jax.numpy as jnp
@@ -7,11 +16,15 @@ import numpy as np
 
 from cvcs_tpu.core.mesh import MeshConfig, create_mesh
 from cvcs_tpu.models import build_model
-from cvcs_tpu.parallel.tp import channel_shardings, shard_params
+from cvcs_tpu.parallel.tp import (
+    channel_shardings, shard_params, tensor_parallel,
+)
+
+N_DEV = 8
 
 
-def test_tp_forward_matches_replicated():
-    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+def _setup():
+    mesh = create_mesh(MeshConfig(data=1, spatial=N_DEV))
     model, _ = build_model("Unet", 16, dtype=jnp.float32)
     x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3)) * 255
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -21,15 +34,53 @@ def test_tp_forward_matches_replicated():
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, a, train=False)
 
+    return mesh, model, x, variables, fwd
+
+
+def test_tp_forward_matches_replicated():
+    mesh, model, x, variables, fwd = _setup()
     base = jax.jit(fwd)(variables["params"], variables["batch_stats"], x)
     tp_params = shard_params(variables["params"], mesh, min_channels=64)
-    tp = jax.jit(fwd)(tp_params, variables["batch_stats"], x)
+    with tensor_parallel(mesh, "spatial", min_channels=512):
+        tp = jax.jit(fwd)(tp_params, variables["batch_stats"], x)
     np.testing.assert_allclose(np.asarray(base), np.asarray(tp),
                                atol=1e-4, rtol=1e-4)
-    # at least the 1024-wide bottleneck kernels must actually be sharded
-    shardings = channel_shardings(variables["params"], mesh,
-                                  min_channels=64)
-    n_sharded = sum(
-        0 if s.is_fully_replicated else 1
-        for s in jax.tree_util.tree_leaves(shardings))
-    assert n_sharded > 10
+
+
+def test_tp_compiled_hlo_is_sharded_compute():
+    mesh, model, x, variables, fwd = _setup()
+    tp_params = shard_params(variables["params"], mesh, min_channels=64)
+    with tensor_parallel(mesh, "spatial", min_channels=512):
+        compiled = (jax.jit(fwd)
+                    .lower(tp_params, variables["batch_stats"], x)
+                    .compile())
+    txt = compiled.as_text()
+    # XLA inserted real collectives over the mesh
+    assert any(op in txt for op in
+               ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute")), "no collectives in compiled HLO"
+    # the 1024-ch bottleneck runs at per-partition width 1024/8 = 128:
+    # some convolution writes an f32[...,128] result
+    conv_lines = [l for l in txt.splitlines() if " convolution(" in l
+                  or " convolution-start(" in l]
+    per_part = [l for l in conv_lines
+                if re.search(r"f32\[[0-9,]*,128\]", l)]
+    assert per_part, (
+        "no per-partition (128-ch) bottleneck conv — compute is replicated:\n"
+        + "\n".join(conv_lines[:20]))
+
+
+def test_tp_per_device_param_memory_shrinks():
+    mesh, model, x, variables, fwd = _setup()
+    tp_params = shard_params(variables["params"], mesh, min_channels=64)
+    shardings = channel_shardings(variables["params"], mesh, min_channels=64)
+    n_sharded = 0
+    for arr, shd in zip(jax.tree_util.tree_leaves(tp_params),
+                        jax.tree_util.tree_leaves(shardings)):
+        shard_bytes = arr.addressable_shards[0].data.nbytes
+        if shd.is_fully_replicated:
+            assert shard_bytes == arr.nbytes
+        else:
+            assert shard_bytes == arr.nbytes // N_DEV
+            n_sharded += 1
+    assert n_sharded > 10   # the deep half of the UNet is genuinely sharded
