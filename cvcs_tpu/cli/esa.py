@@ -20,10 +20,15 @@ from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 
 
 def run(config: dict) -> None:
+    from pathlib import Path
+
     from PIL import Image
 
     Image.MAX_IMAGE_PIXELS = None
-    image = np.asarray(Image.open(config["image"]).convert("RGB"))
+    paths = config["image"]
+    if not isinstance(paths, (list, tuple)):
+        paths = [paths]
+    rasters = [np.asarray(Image.open(f).convert("RGB")) for f in paths]
     p = int(config.get("patch_size", 512))
 
     model, spec, num_classes = common.build_net(config)
@@ -37,11 +42,28 @@ def run(config: dict) -> None:
             num_classes=num_classes),
         returns_logits=spec.returns_logits)
 
-    labels = seg.predict_scene(image)
-    if config.get("output"):
-        seg.export_patches(labels, config["output"])
-    seg.export_map(labels, config.get("out_image", "output_esa.png"))
-    print(f"Wrote {config.get('out_image', 'output_esa.png')}", flush=True)
+    out_image = config.get("out_image", "output_esa.png")
+
+    def out_path(i: int) -> str:
+        if len(rasters) == 1:
+            return out_image
+        stem = Path(out_image)
+        return str(stem.with_name(f"{stem.stem}_{i}{stem.suffix}"))
+
+    if len(rasters) > 1 and len({r.shape for r in rasters}) == 1:
+        # same-shape batch: one jitted program for all scenes (small-scene
+        # workloads like ESA amortize dispatch this way)
+        all_labels = seg.predict_scenes(rasters)
+        per_scene = list(all_labels)
+    else:
+        per_scene = [seg.predict_scene(r) for r in rasters]
+    for i, labels in enumerate(per_scene):
+        if config.get("output"):
+            out_dir = (config["output"] if len(per_scene) == 1
+                       else str(Path(config["output"]) / str(i)))
+            seg.export_patches(labels, out_dir)
+        seg.export_map(labels, out_path(i))
+        print(f"Wrote {out_path(i)}", flush=True)
 
 
 def main(argv=None) -> int:

@@ -64,6 +64,31 @@ def extract_context(
     return jnp.clip(jnp.round(out), 0, 255).astype(scenes.dtype)
 
 
+@partial(jax.jit, static_argnames=("patch_size",))
+def _resize_context_one(big: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(3p, 3p, C) f32 -> (p, p, C) uint8-ranged, identical math to
+    :func:`extract_context`'s resize stage."""
+    p = patch_size
+    out = jax.image.resize(big, (p, p, big.shape[-1]), method="bilinear",
+                           antialias=True)
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
+def resize_context_host(big: np.ndarray, patch_size: int) -> np.ndarray:
+    """Host-callable context resize with EXACTLY the training-path
+    semantics (bilinear + antialias, `extract_context` above).
+
+    Used by :class:`cvcs_tpu.data.inference_dataset.InferenceDataset` so a
+    model trained with device-side context crops sees the same input
+    distribution when spot-checked per patch (round-1 Weak #5 unified the
+    two resize semantics). Pinned to the CPU backend: this is a host tool
+    path and must not wake the tunneled TPU.
+    """
+    cpu = jax.devices("cpu")[0]
+    arr = jax.device_put(jnp.asarray(big, jnp.float32), cpu)
+    return np.asarray(_resize_context_one(arr, patch_size)).astype(big.dtype)
+
+
 @partial(jax.jit, static_argnames=("crop_size", "patch_size"))
 def extract_resized(
     images: jnp.ndarray,

@@ -85,13 +85,13 @@ class InferenceDataset:
 
         context = None
         if self.load_context:
+            from cvcs_tpu.data.extract import resize_context_host
+
             cy, cx, cs = geometry.context_window(y, x, p)
-            big = img[cy:cy + cs, cx:cx + cs].astype(np.float32)
-            # nearest-free bilinear reduce to p x p via block mean would
-            # change semantics; use simple stride-3 bilinear via jax-free
-            # numpy: average 3x3 blocks (cs = 3p exactly)
-            context = big.reshape(p, 3, p, 3, -1).mean(axis=(1, 3))
-            context = np.clip(np.round(context), 0, 255).astype(img.dtype)
+            big = img[cy:cy + cs, cx:cx + cs]
+            # same bilinear+antialias semantics as the training path
+            # (extract.extract_context) — one input distribution everywhere
+            context = resize_context_host(big, p)
 
         padded = None
         if self.border_correction:

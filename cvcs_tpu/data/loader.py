@@ -66,10 +66,16 @@ class DeviceChunk:
         return int(self.images.shape[0])
 
     def batches(
-        self, batch_size: int, drop_last: bool = True
+        self, batch_size: int, drop_last: bool = True,
+        pad_tail: bool = True,
     ) -> Iterator[Batch]:
         """Fixed-shape batches. With ``drop_last=False`` the final partial
-        batch is padded by repeating sample 0 and flagged via ``valid``."""
+        batch is padded by repeating sample 0 and flagged via ``valid``
+        (for masked accumulation, e.g. confusion folds), or — with
+        ``pad_tail=False`` — yielded at its natural size, exactly like the
+        reference DataLoader's final partial batch (`train.py:110`); the
+        tail size is constant per run so it costs one extra cached
+        compile."""
         n = len(self)
         full = n // batch_size
         for b in range(full):
@@ -82,7 +88,17 @@ class DeviceChunk:
             )
         rem = n - full * batch_size
         if rem and not drop_last:
-            yield self._tail_batch(batch_size, full, rem)
+            if pad_tail:
+                yield self._tail_batch(batch_size, full, rem)
+            else:
+                sl = slice(full * batch_size, n)
+                yield Batch(
+                    image=self.images[sl],
+                    mask=self.masks[sl],
+                    context=(None if self.contexts is None
+                             else self.contexts[sl]),
+                    valid=None,
+                )
 
     def _tail_batch(self, batch_size: int, full: int, rem: int) -> Batch:
         n = len(self)

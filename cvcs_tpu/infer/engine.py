@@ -84,6 +84,8 @@ class SceneSegmenter:
                                 static_argnames=("rows", "cols"))
         self._run_tiles_jit = jax.jit(self._run_tiles,
                                       static_argnames=("cols",))
+        self._run_scenes_jit = jax.jit(self._run_scenes,
+                                       static_argnames=("rows", "cols"))
 
     # -- geometry ------------------------------------------------------------
     def _window(self) -> tuple[int, int]:
@@ -95,21 +97,15 @@ class SceneSegmenter:
         return bc, off
 
     # -- window-batch forward (shared by scene + selected-tiles paths) --------
-    def _labels_for_windows(self, variables, scene_pad, wy, wx):
-        """Gather bc-windows at padded coords (wy, wx), forward (with
-        optional dihedral-flip TTA), argmax, center-crop back to the tile:
-        (B,) origin vectors -> (B, p, p) int32 labels."""
+    def _forward_labels(self, variables, wins):
+        """(B, bc, bc, C) windows -> (B, p, p) int32 labels: forward (with
+        optional dihedral-flip TTA), argmax, center-crop back to the tile."""
         p = self.cfg.patch_size
         bc, _ = self._window()
 
-        def gather(y, x):
-            return lax.dynamic_slice(
-                scene_pad, (y, x, 0), (bc, bc, scene_pad.shape[2]))
+        def forward(w):
+            return self.apply_fn(variables, w, context=None, train=False)
 
-        def forward(wins):
-            return self.apply_fn(variables, wins, context=None, train=False)
-
-        wins = jax.vmap(gather)(wy, wx).astype(jnp.float32)
         if self.cfg.tta and self.returns_logits:
             # dihedral-flip TTA, logits averaged in the input frame
             out = forward(wins)
@@ -127,6 +123,18 @@ class SceneSegmenter:
         crop0 = (bc - p) // 2
         return lax.dynamic_slice(
             lab, (0, crop0, crop0), (lab.shape[0], p, p))
+
+    def _labels_for_windows(self, variables, scene_pad, wy, wx):
+        """Gather bc-windows at padded coords (wy, wx) of one scene and
+        run :meth:`_forward_labels`."""
+        bc, _ = self._window()
+
+        def gather(y, x):
+            return lax.dynamic_slice(
+                scene_pad, (y, x, 0), (bc, bc, scene_pad.shape[2]))
+
+        wins = jax.vmap(gather)(wy, wx).astype(jnp.float32)
+        return self._forward_labels(variables, wins)
 
     # -- single-device whole-scene path ---------------------------------------
     def _run_scene(self, variables, scene_pad: jnp.ndarray, rows: int,
@@ -197,6 +205,66 @@ class SceneSegmenter:
         scene_pad, _, cols = self.pad_scene(scene)
         ids = jnp.asarray(np.asarray(tile_ids, np.int32))
         return self._run_tiles_jit(self.variables, scene_pad, ids, cols)
+
+    # -- multi-scene batched path ------------------------------------------
+    def _run_scenes(self, variables, scenes_pad: jnp.ndarray, rows: int,
+                    cols: int):
+        """(S, Hp, Wp, C) padded scene stack -> (S, H, W) i32 label maps in
+        ONE program — amortizes dispatch for small-scene (ESA) workloads
+        where per-scene tile counts are tiny (ROADMAP item 7)."""
+        p = self.cfg.patch_size
+        bc, off = self._window()
+        pad = bc - p
+        n_scenes = scenes_pad.shape[0]
+        tpi = rows * cols
+        n_tiles = n_scenes * tpi
+        bt = min(self.cfg.batch_tiles, n_tiles)
+        n_batches = -(-n_tiles // bt)
+
+        idx = jnp.arange(n_batches * bt) % n_tiles
+        s = idx // tpi
+        t = idx % tpi
+        tly = (t // cols) * p
+        tlx = (t % cols) * p
+        origins = jnp.stack(
+            [s, tly + pad - off, tlx + pad - off, tly, tlx],
+            axis=1).reshape(n_batches, bt, 5)
+
+        def gather(o):
+            return lax.dynamic_slice(
+                scenes_pad, (o[0], o[1], o[2], 0),
+                (1, bc, bc, scenes_pad.shape[3]))[0]
+
+        def step(canvas, obatch):
+            wins = jax.vmap(gather)(obatch).astype(jnp.float32)
+            lab = self._forward_labels(variables, wins)
+
+            def put(cv, i):
+                return lax.dynamic_update_slice(
+                    cv, lab[i][None],
+                    (obatch[i, 0], obatch[i, 3], obatch[i, 4])), None
+
+            canvas, _ = lax.scan(put, canvas, jnp.arange(bt))
+            return canvas, None
+
+        canvas = jnp.zeros((n_scenes, rows * p, cols * p), jnp.int32)
+        canvas, _ = lax.scan(step, canvas, origins)
+        return canvas
+
+    def predict_scenes(self, scenes) -> jnp.ndarray:
+        """Batched whole-scene inference over same-shape scenes: a list (or
+        (S, H, W, C) stack) of uint8 rasters -> (S, H', W') int32 labels,
+        one jitted program for the whole batch."""
+        scenes = np.stack([np.asarray(s) for s in scenes]) \
+            if isinstance(scenes, (list, tuple)) else np.asarray(scenes)
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        grid = TileGrid((scenes.shape[1], scenes.shape[2]), p)
+        stack = jnp.pad(jnp.asarray(scenes),
+                        ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        return self._run_scenes_jit(self.variables, stack,
+                                    grid.rows, grid.cols)
 
     def pad_scene(self, scene: np.ndarray | jnp.ndarray):
         """Upload + zero-pad a scene once; returns (scene_pad, rows, cols)

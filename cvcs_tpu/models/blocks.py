@@ -112,6 +112,46 @@ class DecodeBlock(nn.Module):
         return x
 
 
+class ConvTranspose(nn.Module):
+    """MXU-native 2x2/stride-2 transposed conv (UNetv2's decoder upsample,
+    reference `nets.py:149-169`).
+
+    Algebraically identical to ``nn.ConvTranspose(features, (2, 2),
+    strides=(2, 2))`` — same parameter names, shapes, and init, so Orbax
+    checkpoints and the torch importer are unchanged — but computed as a
+    1x1 matmul + depth-to-space instead of a fractionally-strided
+    convolution. With k == s the output 2x2 sub-pixels never overlap, so
+    the ConvTranspose is exactly a per-pixel (cin -> 4*cout) matmul whose
+    outputs interleave spatially; XLA maps the matmul straight onto the
+    MXU and, crucially, the *backward* pass becomes two matmuls instead of
+    the reversed/dilated convolutions the profiler showed burning HBM
+    bandwidth (full-activation ``reverse`` ops) in round 1.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        # lax.conv_transpose(SAME, k=s=2) places x[i,j]*K[1-di,1-dj] at
+        # out[2i+di, 2j+dj]; flip K up front to keep bit-parity with the
+        # flax/lax formulation (verified in tests/test_models.py).
+        k = jnp.asarray(kernel, self.dtype)[::-1, ::-1]
+        x = jnp.asarray(x, self.dtype)
+        y = jnp.einsum("bhwc,ijco->bhwijo", x, k)
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        # (b,h,w,i,j,o) -> (b,h,i,w,j,o) -> (b,2h,2w,o)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, 2 * h, 2 * w, self.features)
+        return y + jnp.asarray(bias, self.dtype)
+
+
 def center_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Center-crop the spatial dims of an NHWC tensor to ``size`` (the
     reference's torchvision ``functional.center_crop`` at `nets.py:109`)."""

@@ -45,6 +45,11 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
     "Unet": ModelSpec("Unet", lambda num_classes, **kw: unet(num_classes, **kw)),
     "Unetv2": ModelSpec(
         "Unetv2", lambda num_classes, **kw: unet_v2(num_classes, **kw)),
+    # TPU perf variant (opt-in, non-parity weights): space-to-depth stem,
+    # every level at half resolution — see models/unet.py docstring.
+    "Unetv2S2D": ModelSpec(
+        "Unetv2S2D",
+        lambda num_classes, **kw: unet_v2(num_classes, stem="s2d", **kw)),
     "Resnet101": ModelSpec(
         "Resnet101",
         lambda num_classes, **kw: DeepLabV3(

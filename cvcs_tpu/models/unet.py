@@ -30,7 +30,9 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvcs_tpu.models.blocks import ConvBNAct, DecodeBlock, UpscaleBlock, center_crop
+from cvcs_tpu.models.blocks import (
+    ConvBNAct, ConvTranspose, DecodeBlock, UpscaleBlock, center_crop,
+)
 
 ENCODER_WIDTHS = (64, 128, 256, 512, 1024)
 
@@ -55,12 +57,33 @@ class _Encoder(nn.Module):
         return feats
 
 
+def _space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def _depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
+
+
 class UNet(nn.Module):
     """5-level U-Net. ``upsample='bilinear'`` is the reference's "Unet",
-    ``upsample='transpose'`` its "Unetv2"."""
+    ``upsample='transpose'`` its "Unetv2".
+
+    ``stem='s2d'`` (opt-in, NOT reference-parity — weights are not
+    importable from torch checkpoints) is the TPU perf variant: the input
+    is space-to-depth rearranged 2x (H, W, 3) -> (H/2, W/2, 12) so every
+    level runs at half resolution — the level-1 stack at 224² dominated
+    both FLOPs and HBM traffic in the round-1 profile — and the logits are
+    emitted at 4x channels and depth-to-space'd back to full resolution.
+    """
 
     num_classes: int
     upsample: str = "bilinear"  # "bilinear" | "transpose"
+    stem: str = "full"          # "full" (parity) | "s2d" (perf variant)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -71,6 +94,8 @@ class UNet(nn.Module):
     def __call__(self, x, context=None, train: bool = False):
         del context  # protocol arg; UNet ignores it (`nets.py:96`)
         x = jnp.asarray(x, self.dtype)
+        if self.stem == "s2d":
+            x = _space_to_depth(x, 2)
         x1, x2, x3, x4, x5 = _Encoder(
             dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
         # TP hook: under parallel.tp.tensor_parallel the 1024-ch bottleneck
@@ -82,8 +107,10 @@ class UNet(nn.Module):
             if self.upsample == "bilinear":
                 return UpscaleBlock(dtype=self.dtype,
                                     param_dtype=self.param_dtype)(y)
-            return nn.ConvTranspose(
-                y.shape[-1] // 2, kernel_size=(2, 2), strides=(2, 2),
+            # blocks.ConvTranspose: same params/naming as nn.ConvTranspose
+            # but computed as matmul + depth-to-space (MXU-native)
+            return ConvTranspose(
+                y.shape[-1] // 2,
                 dtype=self.dtype, param_dtype=self.param_dtype)(y)
 
         y = up(x5)
@@ -105,9 +132,13 @@ class UNet(nn.Module):
         y = DecodeBlock(64, dtype=self.dtype,
                         param_dtype=self.param_dtype)(
             jnp.concatenate([x1, y], axis=-1), train)
+        out_ch = (self.num_classes * 4 if self.stem == "s2d"
+                  else self.num_classes)
         logits = nn.Conv(
-            self.num_classes, kernel_size=(1, 1),
+            out_ch, kernel_size=(1, 1),
             dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        if self.stem == "s2d":
+            logits = _depth_to_space(logits, 2)
         return logits.astype(jnp.float32)
 
 

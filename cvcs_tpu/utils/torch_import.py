@@ -225,6 +225,63 @@ def import_deeplab(sd: Mapping, backbone: str) -> dict:
 
 
 # --------------------------------------------------------------------------
+# GoogLeNet trunk (torchvision naming / reference google_backbone)
+# --------------------------------------------------------------------------
+
+# reference `google_backbone` Sequential indices of the kept torchvision
+# children (`nets.py:207`, children()[:-6] with aux modules stripped):
+# 0 conv1, 1 maxpool1, 2 conv2, 3 conv3, 4 maxpool2, 5 inception3a,
+# 6 inception3b, 7 maxpool3, 8-12 inception4a-4e.
+_GOOGLE_SEQ = {"conv1": "0", "conv2": "2", "conv3": "3",
+               "inception3a": "5", "inception3b": "6",
+               "inception4a": "8", "inception4b": "9", "inception4c": "10",
+               "inception4d": "11", "inception4e": "12"}
+
+
+def import_googlenet(sd: Mapping) -> dict:
+    """GoogLeNet trunk weights -> :class:`GoogLeNetBackbone` variables.
+
+    Accepts either torchvision ``googlenet`` naming (``conv1.conv``,
+    ``inception3a.branch1.conv``, ...) or a reference ``google_backbone``
+    sub-dict (``backbone.{i}...`` + ``out_layer`` / ``aux_layer``,
+    `nets.py:203-215`). The adapter 1x1 convs exist only in reference
+    checkpoints; with raw torchvision weights they stay uninitialized and
+    the caller keeps its fresh values for them.
+    """
+    ref_style = any(k.startswith("backbone.") for k in sd)
+
+    def tn(tv_name: str) -> str:
+        if not ref_style:
+            return tv_name
+        mod, rest = tv_name.split(".", 1)
+        return f"backbone.{_GOOGLE_SEQ[mod]}.{rest}"
+
+    b = _TreeBuilder()
+
+    def basic(path: tuple, name: str) -> None:
+        b.conv(path + ("Conv_0",), sd, tn(f"{name}.conv"))
+        b.bn(path + ("BatchNorm_0",), sd, tn(f"{name}.bn"))
+
+    basic(("BasicConv2d_0",), "conv1")
+    basic(("BasicConv2d_1",), "conv2")
+    basic(("BasicConv2d_2",), "conv3")
+    blocks = ["inception3a", "inception3b", "inception4a", "inception4b",
+              "inception4c", "inception4d", "inception4e"]
+    for i, blk in enumerate(blocks):
+        path = (f"Inception_{i}",)
+        basic(path + ("BasicConv2d_0",), f"{blk}.branch1")
+        basic(path + ("BasicConv2d_1",), f"{blk}.branch2.0")
+        basic(path + ("BasicConv2d_2",), f"{blk}.branch2.1")
+        basic(path + ("BasicConv2d_3",), f"{blk}.branch3.0")
+        basic(path + ("BasicConv2d_4",), f"{blk}.branch3.1")
+        basic(path + ("BasicConv2d_5",), f"{blk}.branch4.1")
+    if ref_style and "out_layer.weight" in sd:
+        b.conv(("Conv_0",), sd, "out_layer")
+        b.conv(("Conv_1",), sd, "aux_layer")
+    return b.variables()
+
+
+# --------------------------------------------------------------------------
 # SegFormer (HF naming) + reference tail
 # --------------------------------------------------------------------------
 

@@ -63,3 +63,28 @@ def test_random_shift_does_not_crash(gid15_root):
                           random_shift=True, load_context=False)
     patch, mask, _, _ = ds[0]
     assert patch.shape == (PATCH, PATCH, 3)
+
+
+def test_context_resize_matches_training_path(gid15_root):
+    """Golden parity (round-1 Weak #5): the per-patch tool context and the
+    device training-path context use ONE resize semantic — bilinear with
+    antialias — and agree exactly on the same window."""
+    import jax.numpy as jnp
+
+    from cvcs_tpu.data.extract import extract_context, pad_scenes
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH)
+    scenes = SceneDataset(str(gid15_root))
+    img = scenes.load_image(0)
+
+    cols = SCENE_SHAPE[1] // PATCH
+    tile = 1 * cols + 1
+    _, _, ctx_tool, _ = ds[tile]
+
+    # training path: padded scene stack + vmapped device gather/resize
+    stack = pad_scenes(img[None], PATCH)
+    coords = jnp.array([[0, PATCH + PATCH, PATCH + PATCH]], jnp.int32)
+    ctx_train = np.asarray(extract_context(jnp.asarray(stack), coords,
+                                           PATCH))[0]
+    np.testing.assert_array_equal(ctx_tool, ctx_train)

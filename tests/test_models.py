@@ -114,3 +114,38 @@ def test_registry_names_cover_reference_zoo():
     for name in ["Unet", "Unetv2", "Resnet101", "Resnet50", "MobileNet",
                  "SegformerMod"]:
         assert name in MODEL_REGISTRY
+
+
+def test_mxu_convtranspose_equals_flax():
+    """blocks.ConvTranspose (matmul + depth-to-space) must be bit-parity
+    with nn.ConvTranspose(k=2, s=2) under identical params."""
+    import numpy as np
+    from flax import linen as nn
+
+    from cvcs_tpu.models import blocks
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 6)).astype(np.float32))
+    ours = blocks.ConvTranspose(4, dtype=jnp.float32)
+    ref = nn.ConvTranspose(4, kernel_size=(2, 2), strides=(2, 2),
+                           dtype=jnp.float32, param_dtype=jnp.float32)
+    v = ours.init(jax.random.key(1), x)
+    got = ours.apply(v, x)
+    want = ref.apply(v, x)   # identical param tree (kernel + bias)
+    assert got.shape == want.shape == (2, 16, 20, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_unetv2_s2d_variant_shapes():
+    """Opt-in space-to-depth stem: full-resolution logits, halved internal
+    resolution (perf variant — not weight-compatible with the reference)."""
+    from cvcs_tpu.models import build_model
+
+    model, spec = build_model("Unetv2S2D", 16, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 16)
+    assert spec.returns_logits

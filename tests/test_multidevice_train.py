@@ -65,3 +65,45 @@ def test_dp_training_with_multistep(gid15_root, tmp_path):
     # 48 patches -> 6 micro-batches of 8: one stack of 3 + 3 singles
     assert len(trainer.training_loss_values) == 6
     assert all(np.isfinite(v) for v in trainer.training_loss_values)
+
+
+def test_dp_step_equals_single_device_step():
+    """The sharded analogue of tests/test_inference.py's bit-exactness
+    check, for training: one train step with the batch sharded over 8
+    devices must move the params exactly where the single-device step
+    moves them (the gradient psum is a mean over the same samples)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvcs_tpu.core.mesh import DATA_AXIS
+    from cvcs_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, PATCH, PATCH, 3), np.uint8)
+    msk = rng.integers(0, 16, (16, PATCH, PATCH)).astype(np.int32)
+
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+
+    def run(mesh):
+        state = create_train_state(
+            model, optimizer, jnp.zeros((16, PATCH, PATCH, 3), jnp.uint8))
+        step = make_train_step(build_loss("CEL"))
+        if mesh is None:
+            x, m = jnp.asarray(img), jnp.asarray(msk)
+        else:
+            state = replicate(state, mesh)
+            x = jax.device_put(img, NamedSharding(
+                mesh, P(DATA_AXIS, None, None, None)))
+            m = jax.device_put(msk, NamedSharding(mesh, P(DATA_AXIS)))
+        state, loss = step(state, x, m, jnp.zeros((), jnp.uint8),
+                           jnp.float32(6e-3), jax.random.key(0))
+        return state, float(loss)
+
+    s1, l1 = run(None)
+    s8, l8 = run(create_mesh(MeshConfig(data=8, spatial=1)))
+    # f32 tolerance: the 8-way psum reorders the gradient summation
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
