@@ -76,7 +76,8 @@ def get_baseline() -> dict:
     return base
 
 
-def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4) -> float:
+def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4,
+                model_name: str = "Unetv2") -> float:
     """Warm multi-step (lax.scan, K optimizer steps per dispatch) UNetv2
     training throughput — the framework's production train path
     (``steps_per_call`` in the train config)."""
@@ -85,7 +86,7 @@ def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4) -> float:
     from cvcs_tpu.train import build_optimizer, create_train_state
     from cvcs_tpu.train.step import make_multi_train_step
 
-    model, spec = build_model("Unetv2", 16)
+    model, spec = build_model(model_name, 16)
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
@@ -159,6 +160,12 @@ def main() -> None:
     backend = jax.default_backend()
     train_tps = bench_train()
     infer_tps = bench_infer()
+    # opt-in TPU perf variant (space-to-depth stem, not torch-importable;
+    # see BASELINE.md) — reported alongside, never as the headline
+    try:
+        s2d_tps = bench_train(model_name="Unetv2S2D")
+    except Exception:
+        s2d_tps = None
     value = float(np.sqrt(train_tps * infer_tps))
     base = get_baseline()
     base_value = float(np.sqrt(
@@ -170,6 +177,8 @@ def main() -> None:
         "vs_baseline": round(value / base_value, 2),
         "train_tiles_per_s": round(train_tps, 3),
         "infer_tiles_per_s": round(infer_tps, 3),
+        "train_s2d_variant_tiles_per_s": (
+            round(s2d_tps, 3) if s2d_tps else None),
         "baseline_tiles_per_s": round(base_value, 3),
         "backend": backend,
     }))

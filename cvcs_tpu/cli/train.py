@@ -107,7 +107,8 @@ def build_trainer(config: dict) -> Trainer:
         steps_per_call=int(config.get("steps_per_call", 1)),
         metrics_log=config.get("metrics_log"),
         bn_exact_stats=bool(config.get("bn_exact_stats", True)),
-        async_checkpoints=bool(config.get("async_checkpoints", False)))
+        async_checkpoints=bool(config.get("async_checkpoints", False)),
+        eval_downscale=int(config.get("eval_downscale", 1)))
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

@@ -24,3 +24,13 @@ def test_decode_is_normalized_palette():
     pal = GID15Palette()
     rgb = np.asarray(pal.decode(np.array([[1]])))
     np.testing.assert_allclose(rgb[0, 0], PALETTE[1] / 255.0)
+
+
+def test_decode_u8_host_matches_device():
+    # exports transfer uint8 labels and LUT-decode on host; must agree with
+    # the on-device one-hot decode, incl. the white out-of-palette quirk
+    pal = GID15Palette()
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, NUM_CLASSES + 3, (7, 9)).astype(np.int32)
+    np.testing.assert_array_equal(
+        pal.decode_u8_host(mask), np.asarray(pal.decode_u8(mask)))

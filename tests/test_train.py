@@ -99,6 +99,17 @@ def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2):
                    loader, val_loader, cfg, log=lambda s: None)
 
 
+def test_eval_downscale(smoke_setup, tmp_path):
+    # half-res periodic eval: same confusion *math* on 1/4 the pixels
+    trainer = _build_trainer(smoke_setup, tmp_path)
+    full = trainer.evaluate(16)
+    half = trainer.evaluate(16, downscale=2)
+    assert int(np.asarray(half.total).sum()) * 4 == int(
+        np.asarray(full.total).sum())
+    # class marginals stay in the same ballpark (sanity, not exactness)
+    assert half.total.shape == full.total.shape
+
+
 def test_end_to_end_smoke_train(smoke_setup, tmp_path):
     trainer = _build_trainer(smoke_setup, tmp_path, epochs=2)
     n_params = param_count(trainer.state.params)
