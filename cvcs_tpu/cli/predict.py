@@ -88,6 +88,12 @@ def predict(config: dict) -> None:
         if mesh is not None:
             raw = dataset.load_image(s)
             labels = seg.predict_scene_sharded(raw, mesh)
+        elif config.get("stream_rows"):
+            # band-pipelined: only stream_rows tile-rows (+ halo) of
+            # imagery are device-resident at a time (giant rasters)
+            raw = dataset.load_image(s)
+            labels = seg.predict_scene_streamed(
+                raw, band_rows=int(config["stream_rows"]))
         else:
             if staged is None:
                 raw0 = dataset.load_image(s)

@@ -118,6 +118,33 @@ def test_predict_cli(trained_ckpt, gid15_root, tmp_path, monkeypatch):
     np.testing.assert_array_equal(t0, stitched[:PATCH, :PATCH])
 
 
+def test_predict_cli_streamed(trained_ckpt, gid15_root, tmp_path):
+    """stream_rows: band-pipelined scene path must produce the same
+    stitched map as the whole-scene program."""
+    from PIL import Image
+
+    from cvcs_tpu.cli import predict as predict_cli
+    from cvcs_tpu.data.geometry import TileGrid
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = SceneDataset(str(gid15_root))
+    tpi = TileGrid(ds.image_shape, PATCH).tiles_per_image
+    maps = []
+    for stream_rows in (None, 1):
+        out_map = tmp_path / f"map_{stream_rows}.png"
+        cfg = dict(
+            dataset=str(gid15_root), net="Unet", patch_size=PATCH,
+            border_correction=PATCH + 16, num_classes=15, precision="f32",
+            load_checkpoint=str(trained_ckpt), mask_only=True,
+            range=[0, tpi], out_image=str(out_map),
+            output=str(tmp_path / "o"))
+        if stream_rows:
+            cfg["stream_rows"] = stream_rows
+        predict_cli.predict(cfg)
+        maps.append(np.asarray(Image.open(out_map)))
+    np.testing.assert_array_equal(maps[0], maps[1])
+
+
 def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     from PIL import Image
 

@@ -72,6 +72,26 @@ def test_partial_tiles_dropped():
     np.testing.assert_array_equal(out, lab[:64, :96])
 
 
+def test_streamed_matches_whole_scene():
+    # band-pipelined path must be bit-identical, incl. a tail band and
+    # partial-tile remainder rows feeding the last band's halo
+    scene, lab = _scene(h=96 + 5, w=96 + 7, seed=6)
+    seg = _segmenter()
+    whole = np.asarray(seg.predict_scene(scene))
+    for band_rows in (1, 2, 4, 8):
+        streamed = np.asarray(
+            seg.predict_scene_streamed(scene, band_rows=band_rows))
+        np.testing.assert_array_equal(streamed, whole)
+
+
+def test_streamed_bug_parity_matches_whole_scene():
+    scene, _ = _scene(h=96, w=64, seed=7)
+    seg = _segmenter(bug_parity=True)
+    whole = np.asarray(seg.predict_scene(scene))
+    streamed = np.asarray(seg.predict_scene_streamed(scene, band_rows=2))
+    np.testing.assert_array_equal(streamed, whole)
+
+
 def test_sharded_matches_single_device():
     scene, lab = _scene(h=128, w=64, seed=4)  # 8 tile rows over 8 devices
     seg = _segmenter()
