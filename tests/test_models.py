@@ -149,3 +149,29 @@ def test_unetv2_s2d_variant_shapes():
     out = model.apply(v, x, train=False)
     assert out.shape == (1, 64, 64, 16)
     assert spec.returns_logits
+
+
+def test_unetv2_s2d_variant_trains():
+    """The perf variant must LEARN, not just compile: overfit a fixed
+    labels-in-image batch and drive the loss toward zero."""
+    from cvcs_tpu.models import build_model
+    from cvcs_tpu.ops.losses import build_loss
+    from cvcs_tpu.train import build_optimizer, create_train_state
+    from cvcs_tpu.train.step import make_train_step
+
+    model, spec = build_model("Unetv2S2D", 16, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mask = np.kron(rng.integers(0, 16, (2, 4, 4)),
+                   np.ones((8, 8), np.int64)).astype(np.int32)
+    image = np.repeat(
+        (mask * 16).astype(np.uint8)[..., None], 3, axis=-1)  # labels visible
+    state = create_train_state(
+        model, build_optimizer("SGD2"), jnp.asarray(image))
+    step = make_train_step(build_loss("CEL"))
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, jnp.asarray(image), jnp.asarray(mask),
+                           jnp.zeros((), jnp.uint8), jnp.float32(0.05),
+                           jax.random.key(0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
