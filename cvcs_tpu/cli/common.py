@@ -105,12 +105,15 @@ def build_ensemble(config: dict, patch_size: int) -> Ensemble:
         model, spec, _ = build_net(m_config)
         variables = restore_variables(m_config, model, patch_size)
 
-        def apply(image, context=None, _m=model, _v=variables):
+        # variables ride as a traced argument (Ensemble.vote), NOT a jit
+        # closure — closed-over params bake into the HLO as constants
+        def apply(_v, image, context=None, _m=model):
             return _m.apply(_v, image.astype(jnp.float32), context=context,
                             train=False)
 
         members.append(EnsembleMember(net_name, apply,
-                                      returns_logits=spec.returns_logits))
+                                      returns_logits=spec.returns_logits,
+                                      variables=variables))
     return Ensemble(members, num_classes)
 
 

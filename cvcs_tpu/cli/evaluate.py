@@ -32,13 +32,20 @@ def evaluate(config: dict) -> dict:
     batch_size = int(config.get("batch_size", 8))
     ignore = 0 if config.get("ignore_background") else None
 
+    # In both paths the restored weights ride as traced jit ARGUMENTS:
+    # closing them over would bake every parameter into the HLO as a
+    # constant (bloats the program — the tunnel's remote compiler rejects
+    # a 3-member ensemble at 413 — and defeats donation/sharing).
     if config["net"] == "Ensemble":
         ens = common.build_ensemble(config, config["patch_size"])
         import jax
 
         # the whole member-forwards + one-hot vote jits into one program
-        predict = jax.jit(
-            lambda image, context: ens(image.astype(jnp.float32), context))
+        vote = jax.jit(
+            lambda mvars, image, context: ens.vote(
+                mvars, image.astype(jnp.float32), context))
+        mvars = ens.member_variables
+        predict = lambda image, context: vote(mvars, image, context)
     else:
         model, spec, _ = common.build_net(config)
         variables = common.restore_variables(config, model,
@@ -46,12 +53,14 @@ def evaluate(config: dict) -> dict:
         import jax
 
         @jax.jit
-        def predict(image, context):
+        def _predict(variables, image, context):
             out = model.apply(variables, image.astype(jnp.float32),
                               context=context, train=False)
             if spec.returns_logits:
                 out = jnp.argmax(out, axis=-1)
             return out.astype(jnp.int32)
+
+        predict = lambda image, context: _predict(variables, image, context)
 
     host = conf_lib.HostConfusion(num_classes)
     for c in range(len(loader)):

@@ -23,19 +23,30 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class EnsembleMember:
-    """One voted member: an apply function closed over its variables."""
+    """One voted member: an apply function plus its restored variables.
+
+    ``apply`` may take ``(image, context)`` with the variables already
+    closed over (convenient for tests), or — preferred for real
+    checkpoints — ``(variables, image, context)`` with ``variables`` held
+    here and passed at call time. The latter keeps member weights out of
+    the jitted program body: closing big parameter pytrees into a jit
+    bakes them into the HLO as constants, which bloats the serialized
+    program (this machine's remote-compile tunnel rejects a 3-member
+    ensemble outright with HTTP 413) and defeats buffer donation.
+    """
 
     name: str
-    apply: Callable[..., jnp.ndarray]   # (image, context) -> logits or labels
+    apply: Callable[..., jnp.ndarray]
     returns_logits: bool = True
+    variables: Any = None   # None -> apply is (image, context)
 
 
 class Ensemble:
     """Pixelwise majority vote over member predictions (`utils.py:499-507`).
 
-    Not a linen module: members carry their own (already-restored)
-    parameters; the ensemble is a pure function over them, jittable as a
-    whole.
+    Not a linen module: the ensemble is a pure function over its members'
+    parameters, jittable as a whole via :meth:`vote` with the member
+    variables passed as a traced argument.
     """
 
     requires_context = False
@@ -48,14 +59,27 @@ class Ensemble:
         self.members = list(members)
         self.num_classes = num_classes
 
-    def __call__(self, image: jnp.ndarray, context: Any = None) -> jnp.ndarray:
+    @property
+    def member_variables(self) -> list:
+        return [m.variables for m in self.members]
+
+    def vote(self, member_variables: Sequence[Any], image: jnp.ndarray,
+             context: Any = None) -> jnp.ndarray:
+        """Member forwards + one-hot vote; ``member_variables`` aligns with
+        ``self.members`` (entries ignored for closure-style members)."""
         votes = jnp.zeros(
             image.shape[:1] + image.shape[1:3] + (self.num_classes,),
             jnp.int32)
-        for m in self.members:
-            pred = m.apply(image, context)
+        for m, mv in zip(self.members, member_variables):
+            if m.variables is None and mv is None:
+                pred = m.apply(image, context)
+            else:
+                pred = m.apply(mv, image, context)
             if m.returns_logits:
                 pred = jnp.argmax(pred, axis=-1)
             votes = votes + jax.nn.one_hot(pred, self.num_classes,
                                            dtype=jnp.int32)
         return jnp.argmax(votes, axis=-1).astype(jnp.int32)
+
+    def __call__(self, image: jnp.ndarray, context: Any = None) -> jnp.ndarray:
+        return self.vote(self.member_variables, image, context)

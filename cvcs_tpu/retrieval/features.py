@@ -43,14 +43,16 @@ def extract_features(model, variables, images: jnp.ndarray) -> jnp.ndarray:
     tap = _tap_filter(model)
     name = type(model).__name__
 
-    def fwd(image):
+    def fwd(variables, image):
+        # variables are a traced argument — closing them over would bake
+        # the weights into the HLO as constants (see models/ensemble.py)
         _, inter = model.apply(
             variables, image, train=False,
             capture_intermediates=tap,
             mutable=["intermediates"])
         return inter["intermediates"]
 
-    inter = jax.jit(fwd)(images.astype(jnp.float32))
+    inter = jax.jit(fwd)(variables, images.astype(jnp.float32))
     # walk to the tapped module's __call__ output (stop at the first one —
     # backbone outputs may themselves be dicts)
     node = inter
