@@ -103,6 +103,26 @@ def test_ensemble_majority_vote():
     assert int(ens2(jnp.zeros((b, h, w, 3)))[0, 0, 0]) == 2
 
 
+def test_ensemble_vote_traced_variables():
+    """The CLI path: member weights ride as traced jit arguments (never
+    closures — closed-over params bake into the HLO as constants)."""
+    b, h, w = 1, 4, 4
+
+    def member(bias):
+        def apply(variables, image, context=None):
+            # toy "model": label = round(bias) everywhere
+            return jnp.full((b, h, w), variables["bias"], jnp.int32)
+        return EnsembleMember(f"b{bias}", apply, returns_logits=False,
+                              variables={"bias": jnp.int32(bias)})
+
+    ens = Ensemble([member(2), member(7), member(7)], NUM_CLASSES)
+    vote = jax.jit(lambda mv, img: ens.vote(mv, img))
+    out = vote(ens.member_variables, jnp.zeros((b, h, w, 3)))
+    assert int(out[0, 0, 0]) == 7
+    # convenience __call__ matches
+    assert int(ens(jnp.zeros((b, h, w, 3)))[0, 0, 0]) == 7
+
+
 def test_registry_rejects_unknown():
     with pytest.raises(ValueError):
         build_model("TSwin", NUM_CLASSES)  # docs-drift net, must not exist
