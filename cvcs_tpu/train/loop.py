@@ -180,6 +180,18 @@ class Trainer:
             lr = self.optimizer.lr_for_epoch(epoch)
             self.train_loader.shuffle()
             n_patches = 0
+            # Losses are harvested one chunk LATE: chunk c+1's host decode
+            # + device upload runs while chunk c's steps are still
+            # executing (dispatch is async; the device_get below is the
+            # only sync point). Costs one extra chunk of HBM residency,
+            # hides the loader entirely behind compute.
+            pending_losses = None
+
+            def harvest(losses):
+                for v in jax.device_get(losses):
+                    self.training_loss_values += [
+                        float(x) for x in np.asarray(v).reshape(-1)]
+
             for c in range(len(self.train_loader)):
                 chunk = self.train_loader.get_chunk(c, cfg.random_tps)
                 chunk_losses = []
@@ -229,10 +241,13 @@ class Trainer:
                     if ctx is None:
                         ctx = jnp.zeros((), jnp.uint8)
                     self.state = self.stats_step(self.state, image, ctx)
-                # one host sync per chunk (multi-step entries are (K,) arrays)
-                for v in jax.device_get(chunk_losses):
-                    self.training_loss_values += [
-                        float(x) for x in np.asarray(v).reshape(-1)]
+                # one host sync per chunk, one chunk behind (multi-step
+                # entries are (K,) arrays)
+                if pending_losses is not None:
+                    harvest(pending_losses)
+                pending_losses = chunk_losses
+            if pending_losses is not None:
+                harvest(pending_losses)
             epoch_s = time.time() - t_epoch
             if cfg.verbose and self.training_loss_values:
                 self.log(
