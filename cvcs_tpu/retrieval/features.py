@@ -20,6 +20,8 @@ MobileNet; mean-pool available via ``pool="mean"``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,11 +40,16 @@ def _tap_filter(model):
     raise ValueError(f"no retrieval tap registered for {name}")
 
 
-def extract_features(model, variables, images: jnp.ndarray) -> jnp.ndarray:
-    """Tapped feature map (B, h, w, C) for a batch of images."""
+@functools.lru_cache(maxsize=32)
+def _jitted_tap_fwd(model):
+    """One cached jitted tap-forward per model. linen modules are frozen
+    dataclasses (hashable), so the cache key is the module config itself.
+    Building the jit inside :func:`extract_features` made EVERY call
+    re-trace and re-lower (fresh closure = fresh jit cache entry) —
+    measured 10.7 s/batch on the tunneled chip vs milliseconds warm."""
     tap = _tap_filter(model)
-    name = type(model).__name__
 
+    @jax.jit
     def fwd(variables, image):
         # variables are a traced argument — closing them over would bake
         # the weights into the HLO as constants (see models/ensemble.py)
@@ -52,7 +59,13 @@ def extract_features(model, variables, images: jnp.ndarray) -> jnp.ndarray:
             mutable=["intermediates"])
         return inter["intermediates"]
 
-    inter = jax.jit(fwd)(variables, images.astype(jnp.float32))
+    return fwd
+
+
+def extract_features(model, variables, images: jnp.ndarray) -> jnp.ndarray:
+    """Tapped feature map (B, h, w, C) for a batch of images."""
+    name = type(model).__name__
+    inter = _jitted_tap_fwd(model)(variables, images.astype(jnp.float32))
     # walk to the tapped module's __call__ output (stop at the first one —
     # backbone outputs may themselves be dicts)
     node = inter
