@@ -99,6 +99,7 @@ class SceneSegmenter:
                                       static_argnames=("cols",))
         self._run_scenes_jit = jax.jit(self._run_scenes,
                                        static_argnames=("rows", "cols"))
+        self._sharded_cache = {}   # (mesh id, geometry) -> jitted shard_map
 
     # -- geometry ------------------------------------------------------------
     def _window(self) -> tuple[int, int]:
@@ -379,20 +380,29 @@ class SceneSegmenter:
         scene_pad_cols = jnp.pad(scene, ((0, 0), (pad, pad), (0, 0)))
         rows_local = grid.rows // n_sp
 
-        def body(variables, strip):
-            # strip: (h/n, w + 2*pad, C) local rows
-            ext = exchange_row_halo(strip, pad, SPATIAL_AXIS)
-            return self._run_scene(variables, ext, rows_local, grid.cols)
-
         spec_in = P(SPATIAL_AXIS, None, None)
         spec_out = P(SPATIAL_AXIS, None)
-        fn = shard_map(body, mesh=mesh, in_specs=(P(), spec_in),
-                       out_specs=spec_out, check_rep=False)
+        # One cached jitted shard_map per (mesh, geometry): rebuilding the
+        # closure per scene would re-trace and re-lower every call — the
+        # same per-call re-jit bug measured at 10.7 s/call in
+        # retrieval/features.py (fixed there with lru_cache).
+        key = (id(mesh), rows_local, grid.cols, pad)
+        fn_jit = self._sharded_cache.get(key)
+        if fn_jit is None:
+            def body(variables, strip):
+                # strip: (h/n, w + 2*pad, C) local rows
+                ext = exchange_row_halo(strip, pad, SPATIAL_AXIS)
+                return self._run_scene(variables, ext, rows_local, grid.cols)
+
+            fn_jit = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(P(), spec_in),
+                out_specs=spec_out, check_rep=False))
+            self._sharded_cache[key] = fn_jit
         x = jax.device_put(
             scene_pad_cols, NamedSharding(mesh, spec_in))
         variables = jax.device_put(
             self.variables, NamedSharding(mesh, P()))
-        return jax.jit(fn)(variables, x)
+        return fn_jit(variables, x)
 
     # -- exports ----------------------------------------------------------------
     def export_patches(self, labels: jnp.ndarray, out_dir,
