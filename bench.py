@@ -178,6 +178,9 @@ def main() -> None:
     try:
         s2d_tps = bench_train(model_name="Unetv2S2D")
     except Exception:
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)   # never mask a real break
         s2d_tps = None
     value = float(np.sqrt(train_tps * infer_tps))
     base = get_baseline()
@@ -191,7 +194,7 @@ def main() -> None:
         "train_tiles_per_s": round(train_tps, 3),
         "infer_tiles_per_s": round(infer_tps, 3),
         "train_s2d_variant_tiles_per_s": (
-            round(s2d_tps, 3) if s2d_tps else None),
+            round(s2d_tps, 3) if s2d_tps is not None else None),
         "baseline_tiles_per_s": round(base_value, 3),
         "backend": backend,
     }))

@@ -109,6 +109,12 @@ def build_trainer(config: dict) -> Trainer:
         bn_exact_stats=bool(config.get("bn_exact_stats", True)),
         async_checkpoints=bool(config.get("async_checkpoints", False)),
         eval_downscale=int(config.get("eval_downscale", 1)))
+    if train_cfg.eval_downscale > 1 and \
+            int(config["patch_size"]) % train_cfg.eval_downscale:
+        # fail at config time, not hours later at the first periodic eval
+        raise ValueError(
+            f"eval_downscale={train_cfg.eval_downscale} must divide "
+            f"patch_size={config['patch_size']}")
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

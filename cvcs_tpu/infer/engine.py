@@ -330,18 +330,20 @@ class SceneSegmenter:
         return self.predict_padded(scene_pad, rows, cols)
 
     def predict_scene_streamed(self, scene: np.ndarray,
-                               band_rows: int = 8) -> jnp.ndarray:
+                               band_rows: int = 8) -> np.ndarray:
         """Band-pipelined whole-scene inference for rasters too large to
         stage in HBM in one piece (the reference's domain has arbitrarily
         tall GeoTIFFs; SURVEY §5 long-context story).
 
         The scene streams through the device as bands of ``band_rows``
-        tile-rows (+ border-correction halo): JAX's async dispatch lets
-        band b+1's host slice/upload overlap band b's forward, and only
-        one band of imagery is device-resident at a time instead of the
-        whole padded scene. Interior band halos are sliced from the real
-        scene, so the result is bit-identical to :meth:`predict_scene`
-        (pinned by ``tests/test_inference.py``).
+        tile-rows (+ border-correction halo), and the label canvas streams
+        back as uint8 one band *behind* the compute, so at most one band
+        of imagery plus two band canvases are device-resident — HBM use is
+        O(band), not O(scene), unlike :meth:`predict_scene`. Returns a
+        HOST uint8 (H', W') label array (the export paths accept it
+        directly). Interior band halos are sliced from the real scene, so
+        the values are identical to :meth:`predict_scene` (pinned by
+        ``tests/test_inference.py``).
         """
         p = self.cfg.patch_size
         bc, _ = self._window()
@@ -349,7 +351,8 @@ class SceneSegmenter:
         scene = np.asarray(scene)
         grid = TileGrid((scene.shape[0], scene.shape[1]), p)
         rows, cols = grid.rows, grid.cols
-        canvases = []
+        host_bands = []
+        prev = None   # fetch one band late to keep upload/compute overlap
         for r0 in range(0, rows, band_rows):
             br = min(band_rows, rows - r0)
             y0, y1 = r0 * p, (r0 + br) * p
@@ -358,8 +361,13 @@ class SceneSegmenter:
             zt, zb = pad - (y0 - top), max(0, pad - (bot - y1))
             band = jnp.asarray(scene[top:bot])
             band_pad = jnp.pad(band, ((zt, zb), (pad, pad), (0, 0)))
-            canvases.append(self._run_jit(self.variables, band_pad, br, cols))
-        return jnp.concatenate(canvases, axis=0)
+            cur = self._run_jit(self.variables, band_pad, br,
+                                cols).astype(jnp.uint8)
+            if prev is not None:
+                host_bands.append(np.asarray(prev))
+            prev = cur
+        host_bands.append(np.asarray(prev))
+        return np.concatenate(host_bands, axis=0)
 
     # -- multi-device spatially-sharded path -----------------------------------
     def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:

@@ -67,6 +67,11 @@ class Ensemble:
              context: Any = None) -> jnp.ndarray:
         """Member forwards + one-hot vote; ``member_variables`` aligns with
         ``self.members`` (entries ignored for closure-style members)."""
+        if len(member_variables) != len(self.members):
+            raise ValueError(
+                f"{len(member_variables)} variable entries for "
+                f"{len(self.members)} members — a silent zip-truncation "
+                "here would vote over a subset of the ensemble")
         votes = jnp.zeros(
             image.shape[:1] + image.shape[1:3] + (self.num_classes,),
             jnp.int32)

@@ -22,7 +22,7 @@ H = int(sys.argv[1]) if len(sys.argv) > 1 else 6800
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 7200
 PATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 224
 BC = int(sys.argv[4]) if len(sys.argv) > 4 else 256
-BT = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+BT = int(sys.argv[5]) if len(sys.argv) > 5 else 64   # production default
 MODEL = os.environ.get("MODEL", "Unetv2")
 
 
