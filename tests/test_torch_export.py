@@ -1,0 +1,83 @@
+"""Export-side interop: our UNetv2 variables -> reference torch naming.
+
+Two pins: (a) export -> import is the identity on every leaf; (b) the
+reference-shaped torch twin loads the export with strict=True and its
+forward matches our flax forward to float tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvcs_tpu.models import build_model
+from cvcs_tpu.utils.torch_export import export_unet
+from cvcs_tpu.utils.torch_import import import_unet
+
+
+def _init_variables(patch=32):
+    model, _ = build_model("Unetv2", 16, dtype=jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(7)},
+        jnp.zeros((1, patch, patch, 3), jnp.float32), train=False)
+    return model, v
+
+
+def test_export_import_roundtrip():
+    model, v = _init_variables()
+    sd = export_unet(v)
+    back = import_unet(sd, upsample="transpose")
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": v["params"], "batch_stats": v["batch_stats"]})
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def _reference_to_twin_names(sd: dict) -> dict:
+    """Inverse of test_torch_import._twin_to_reference_names: reference
+    checkpoint keys -> our torch twin's attribute naming."""
+    out = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if parts[0].startswith("encode"):
+            level = int(parts[0][len("encode"):]) - 1
+            off = int(parts[1])
+            j = off if level == 0 else off - 1   # twin has no maxpool slot
+            assert parts[2] == "layer"
+            out[f"encoders.{level}.{j}." + ".".join(parts[3:])] = value
+        elif parts[0].startswith("upscale"):
+            k = int(parts[0][len("upscale"):]) - 1
+            assert parts[1] == "0"
+            out[f"ups.{k}." + ".".join(parts[2:])] = value
+        elif parts[0].startswith("decode_forward"):
+            k = int(parts[0][len("decode_forward"):]) - 1
+            if parts[1] == "1":   # decode_forward4.1 = final 1x1 head
+                out["head." + ".".join(parts[2:])] = value
+            else:
+                assert parts[1] == "0" and parts[2] == "layer"
+                out[f"decs.{k}." + ".".join(parts[3:])] = value
+        else:  # pragma: no cover
+            raise KeyError(key)
+    return out
+
+
+def test_export_loads_into_torch_twin():
+    torch = pytest.importorskip("torch")
+    from cvcs_tpu.utils.torch_ref import TorchUrnetv2
+
+    model, v = _init_variables()
+    sd = _reference_to_twin_names(export_unet(v))
+    net = TorchUrnetv2(16)
+    net.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(x)) for k, x in sd.items()},
+        strict=True)
+    net.eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = net(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out_j = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(
+        out_j, out_t.transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4)
