@@ -29,6 +29,49 @@ def _f32(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
+class _SdWriter:
+    """Shared inverse-of-`_TreeBuilder` helpers: flax paths -> torch keys.
+
+    Presence checks (conv bias, ResNet downsample) read the FLAX tree —
+    the import side's ``in sd`` membership tests mirrored from the other
+    direction.
+    """
+
+    def __init__(self, variables: dict):
+        self.params = variables["params"]
+        self.stats = variables["batch_stats"]
+        self.sd: dict[str, np.ndarray] = {}
+
+    def has(self, path: tuple) -> bool:
+        node = self.params
+        for key in path:
+            if not isinstance(node, dict) or key not in node:
+                return False
+            node = node[key]
+        return True
+
+    def conv(self, path: tuple, name: str) -> None:
+        leaf = _get(self.params, path)
+        # flax (kh, kw, cin, cout) -> torch (cout, cin, kh, kw)
+        self.sd[f"{name}.weight"] = _f32(
+            leaf["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in leaf:
+            self.sd[f"{name}.bias"] = _f32(leaf["bias"])
+
+    def bn(self, path: tuple, name: str) -> None:
+        leaf = _get(self.params, path)
+        st = _get(self.stats, path)
+        self.sd[f"{name}.weight"] = _f32(leaf["scale"])
+        self.sd[f"{name}.bias"] = _f32(leaf["bias"])
+        self.sd[f"{name}.running_mean"] = _f32(st["mean"])
+        self.sd[f"{name}.running_var"] = _f32(st["var"])
+        self.sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def wbn(self, path: tuple, name: str) -> None:
+        """BN inside our `_BN` wrapper module (nested BatchNorm_0 scope)."""
+        self.bn(path + ("BatchNorm_0",), name)
+
+
 def export_unet(variables: dict, upsample: str = "transpose") -> dict:
     """UNet/UNetv2 variables -> reference torch state dict (numpy leaves).
 
@@ -89,3 +132,48 @@ def export_unet(variables: dict, upsample: str = "transpose") -> dict:
         bn(blk + ("BatchNorm_1",), f"{dec}.5")
     conv(("Conv_0",), "decode_forward4.1")
     return sd
+
+
+_RESNET_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+def export_deeplab(variables: dict, backbone: str = "resnet101") -> dict:
+    """DeepLabV3 (ResNet-50/101 backbone) variables -> torchvision
+    ``deeplabv3_resnet*`` state-dict naming (the reference's
+    `nets.py:234-275` wrappers load exactly this, modulo their
+    ``module.``-prefix rewrites). Inverse of
+    :func:`torch_import.import_deeplab`.
+    """
+    if backbone not in _RESNET_STAGES:
+        raise ValueError(f"no torch export for backbone {backbone!r}")
+    w = _SdWriter(variables)
+
+    root = ("ResNet_0",)
+    w.conv(root + ("Conv_0",), "backbone.conv1")
+    w.wbn(root + ("_BN_0",), "backbone.bn1")
+    idx = 0
+    for stage, n_blocks in enumerate(_RESNET_STAGES[backbone]):
+        for blk in range(n_blocks):
+            base = f"backbone.layer{stage + 1}.{blk}"
+            path = root + (f"Bottleneck_{idx}",)
+            for c in range(3):
+                w.conv(path + (f"Conv_{c}",), f"{base}.conv{c + 1}")
+                w.wbn(path + (f"_BN_{c}",), f"{base}.bn{c + 1}")
+            if w.has(path + ("Conv_3",)):   # projection shortcut
+                w.conv(path + ("Conv_3",), f"{base}.downsample.0")
+                w.wbn(path + ("_BN_3",), f"{base}.downsample.1")
+            idx += 1
+
+    head = ("DeepLabHead_0",)
+    aspp = head + ("ASPP_0",)
+    for i in range(4):
+        w.conv(aspp + (f"Conv_{i}",), f"classifier.0.convs.{i}.0")
+        w.wbn(aspp + (f"_BN_{i}",), f"classifier.0.convs.{i}.1")
+    w.conv(aspp + ("Conv_4",), "classifier.0.convs.4.1")
+    w.wbn(aspp + ("_BN_4",), "classifier.0.convs.4.2")
+    w.conv(aspp + ("Conv_5",), "classifier.0.project.0")
+    w.wbn(aspp + ("_BN_5",), "classifier.0.project.1")
+    w.conv(head + ("Conv_0",), "classifier.1")
+    w.wbn(head + ("_BN_0",), "classifier.2")
+    w.conv(head + ("Conv_1",), "classifier.4")
+    return w.sd

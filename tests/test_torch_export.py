@@ -10,8 +10,8 @@ import numpy as np
 import pytest
 
 from cvcs_tpu.models import build_model
-from cvcs_tpu.utils.torch_export import export_unet
-from cvcs_tpu.utils.torch_import import import_unet
+from cvcs_tpu.utils.torch_export import export_deeplab, export_unet
+from cvcs_tpu.utils.torch_import import import_deeplab, import_unet
 
 
 def _init_variables(patch=32):
@@ -33,6 +33,47 @@ def test_export_import_roundtrip():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+@pytest.mark.slow
+def test_deeplab_export_import_roundtrip():
+    model, _ = build_model("Resnet101", 16, dtype=jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(1)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    sd = export_deeplab(v, backbone="resnet101")
+    back = import_deeplab(sd, "resnet101")
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": v["params"], "batch_stats": v["batch_stats"]})
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+@pytest.mark.slow
+def test_deeplab_export_loads_into_torch_twin():
+    torch = pytest.importorskip("torch")
+    from cvcs_tpu.utils.torch_deeplab_ref import TorchDeepLabV3
+
+    model, _ = build_model("Resnet101", 16, dtype=jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(2)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    sd = export_deeplab(v, backbone="resnet101")
+    net = TorchDeepLabV3(16, "resnet101")
+    net.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(x)) for k, x in sd.items()},
+        strict=True)
+    net.eval()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = net(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out_j = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(
+        out_j, out_t.transpose(0, 2, 3, 1), atol=2e-3, rtol=1e-3)
 
 
 def _reference_to_twin_names(sd: dict) -> dict:
