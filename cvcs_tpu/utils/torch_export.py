@@ -137,32 +137,68 @@ def export_unet(variables: dict, upsample: str = "transpose") -> dict:
 _RESNET_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
 
 
+def _export_mobilenet(w: _SdWriter, prefix: str, root: tuple) -> None:
+    """Inverse of `torch_import._import_mobilenet` (torchvision
+    MobileNetV3-Large naming). The depthwise kernel uses the same
+    transpose inverse as a regular conv: flax (kh, kw, 1, C) ->
+    torch (C, 1, kh, kw)."""
+    from cvcs_tpu.models.mobilenet import LARGE_DILATED
+
+    w.conv(root + ("Conv_0",), f"{prefix}0.0")
+    w.wbn(root + ("_BN_0",), f"{prefix}0.1")
+    for i, cfg in enumerate(LARGE_DILATED):
+        base = f"{prefix}{i + 1}.block"
+        path = root + (f"InvertedResidual_{i}",)
+        k = 0   # torch block index
+        c = 0   # our Conv_*/_BN_* index
+        if i != 0:   # first block has no expand conv
+            w.conv(path + (f"Conv_{c}",), f"{base}.{k}.0")
+            w.wbn(path + (f"_BN_{c}",), f"{base}.{k}.1")
+            k += 1
+            c += 1
+        w.conv(path + (f"Conv_{c}",), f"{base}.{k}.0")   # depthwise
+        w.wbn(path + (f"_BN_{c}",), f"{base}.{k}.1")
+        k += 1
+        c += 1
+        if cfg.use_se:
+            se = path + ("SqueezeExcite_0",)
+            w.conv(se + ("Conv_0",), f"{base}.{k}.fc1")
+            w.conv(se + ("Conv_1",), f"{base}.{k}.fc2")
+            k += 1
+        w.conv(path + (f"Conv_{c}",), f"{base}.{k}.0")
+        w.wbn(path + (f"_BN_{c}",), f"{base}.{k}.1")
+    w.conv(root + ("Conv_1",), f"{prefix}16.0")
+    w.wbn(root + ("_BN_1",), f"{prefix}16.1")
+
+
 def export_deeplab(variables: dict, backbone: str = "resnet101") -> dict:
-    """DeepLabV3 (ResNet-50/101 backbone) variables -> torchvision
-    ``deeplabv3_resnet*`` state-dict naming (the reference's
-    `nets.py:234-275` wrappers load exactly this, modulo their
+    """DeepLabV3 (ResNet-50/101 or MobileNetV3-Large backbone) variables
+    -> torchvision ``deeplabv3_*`` state-dict naming (the reference's
+    `nets.py:234-311` wrappers load exactly this, modulo their
     ``module.``-prefix rewrites). Inverse of
     :func:`torch_import.import_deeplab`.
     """
-    if backbone not in _RESNET_STAGES:
-        raise ValueError(f"no torch export for backbone {backbone!r}")
     w = _SdWriter(variables)
-
-    root = ("ResNet_0",)
-    w.conv(root + ("Conv_0",), "backbone.conv1")
-    w.wbn(root + ("_BN_0",), "backbone.bn1")
-    idx = 0
-    for stage, n_blocks in enumerate(_RESNET_STAGES[backbone]):
-        for blk in range(n_blocks):
-            base = f"backbone.layer{stage + 1}.{blk}"
-            path = root + (f"Bottleneck_{idx}",)
-            for c in range(3):
-                w.conv(path + (f"Conv_{c}",), f"{base}.conv{c + 1}")
-                w.wbn(path + (f"_BN_{c}",), f"{base}.bn{c + 1}")
-            if w.has(path + ("Conv_3",)):   # projection shortcut
-                w.conv(path + ("Conv_3",), f"{base}.downsample.0")
-                w.wbn(path + ("_BN_3",), f"{base}.downsample.1")
-            idx += 1
+    if backbone in _RESNET_STAGES:
+        root = ("ResNet_0",)
+        w.conv(root + ("Conv_0",), "backbone.conv1")
+        w.wbn(root + ("_BN_0",), "backbone.bn1")
+        idx = 0
+        for stage, n_blocks in enumerate(_RESNET_STAGES[backbone]):
+            for blk in range(n_blocks):
+                base = f"backbone.layer{stage + 1}.{blk}"
+                path = root + (f"Bottleneck_{idx}",)
+                for c in range(3):
+                    w.conv(path + (f"Conv_{c}",), f"{base}.conv{c + 1}")
+                    w.wbn(path + (f"_BN_{c}",), f"{base}.bn{c + 1}")
+                if w.has(path + ("Conv_3",)):   # projection shortcut
+                    w.conv(path + ("Conv_3",), f"{base}.downsample.0")
+                    w.wbn(path + ("_BN_3",), f"{base}.downsample.1")
+                idx += 1
+    elif backbone == "mobilenet":
+        _export_mobilenet(w, "backbone.", ("MobileNetV3Backbone_0",))
+    else:
+        raise ValueError(f"no torch export for backbone {backbone!r}")
 
     head = ("DeepLabHead_0",)
     aspp = head + ("ASPP_0",)

@@ -52,6 +52,25 @@ def test_deeplab_export_import_roundtrip():
             np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
 
 
+def test_mobilenet_export_import_roundtrip():
+    # no torchvision on this box, so the MobileNet direction is pinned by
+    # exact roundtrip against the importer (itself torchvision-parity
+    # tested where torchvision exists)
+    model, _ = build_model("MobileNet", 16, dtype=jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(4)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    sd = export_deeplab(v, backbone="mobilenet")
+    back = import_deeplab(sd, "mobilenet")
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": v["params"], "batch_stats": v["batch_stats"]})
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
 @pytest.mark.slow
 def test_deeplab_export_loads_into_torch_twin():
     torch = pytest.importorskip("torch")
