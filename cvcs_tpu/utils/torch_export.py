@@ -171,6 +171,36 @@ def _export_mobilenet(w: _SdWriter, prefix: str, root: tuple) -> None:
     w.wbn(root + ("_BN_1",), f"{prefix}16.1")
 
 
+def export_googlenet(variables: dict) -> dict:
+    """GoogLeNetBackbone trunk variables -> torchvision ``googlenet``
+    naming (``conv1.conv``, ``inception3a.branch1.conv``, ...). Inverse of
+    :func:`torch_import.import_googlenet`'s torchvision branch. The
+    reference-only 1x1 adapter convs (``out_layer``/``aux_layer``,
+    `nets.py:208-209`) are framework-side modules with no torchvision
+    counterpart and are not emitted.
+    """
+    w = _SdWriter(variables)
+
+    def basic(path: tuple, name: str) -> None:
+        w.conv(path + ("Conv_0",), f"{name}.conv")
+        w.bn(path + ("BatchNorm_0",), f"{name}.bn")
+
+    basic(("BasicConv2d_0",), "conv1")
+    basic(("BasicConv2d_1",), "conv2")
+    basic(("BasicConv2d_2",), "conv3")
+    blocks = ["inception3a", "inception3b", "inception4a", "inception4b",
+              "inception4c", "inception4d", "inception4e"]
+    for i, blk in enumerate(blocks):
+        path = (f"Inception_{i}",)
+        basic(path + ("BasicConv2d_0",), f"{blk}.branch1")
+        basic(path + ("BasicConv2d_1",), f"{blk}.branch2.0")
+        basic(path + ("BasicConv2d_2",), f"{blk}.branch2.1")
+        basic(path + ("BasicConv2d_3",), f"{blk}.branch3.0")
+        basic(path + ("BasicConv2d_4",), f"{blk}.branch3.1")
+        basic(path + ("BasicConv2d_5",), f"{blk}.branch4.1")
+    return w.sd
+
+
 def export_deeplab(variables: dict, backbone: str = "resnet101") -> dict:
     """DeepLabV3 (ResNet-50/101 or MobileNetV3-Large backbone) variables
     -> torchvision ``deeplabv3_*`` state-dict naming (the reference's

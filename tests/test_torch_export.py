@@ -10,8 +10,12 @@ import numpy as np
 import pytest
 
 from cvcs_tpu.models import build_model
-from cvcs_tpu.utils.torch_export import export_deeplab, export_unet
-from cvcs_tpu.utils.torch_import import import_deeplab, import_unet
+from cvcs_tpu.utils.torch_export import (
+    export_deeplab, export_googlenet, export_unet,
+)
+from cvcs_tpu.utils.torch_import import (
+    import_deeplab, import_googlenet, import_unet,
+)
 
 
 def _init_variables(patch=32):
@@ -69,6 +73,47 @@ def test_mobilenet_export_import_roundtrip():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def test_googlenet_export_loads_into_torch_twin():
+    """Trunk export strict-loads the torchvision-named twin and the
+    forward matches ours (flax adapters applied to the torch features,
+    same construction as the import-side parity test)."""
+    torch = pytest.importorskip("torch")
+    from cvcs_tpu.models.googlenet import GoogLeNetBackbone
+    from cvcs_tpu.utils.torch_googlenet_ref import TorchGoogleTrunk
+
+    model = GoogLeNetBackbone(dtype=jnp.float32)
+    x = np.random.default_rng(5).random((1, 64, 64, 3), np.float32)
+    v = model.init({"params": jax.random.key(5)}, jnp.asarray(x),
+                   train=False)
+    sd = export_googlenet(v)
+    # roundtrip on the trunk leaves (importer skips the flax-only adapters)
+    back = import_googlenet(sd)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(back):
+        node = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        for k in path:
+            node = node[k.key if hasattr(k, "key") else k]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(node))
+
+    net = TorchGoogleTrunk()
+    net.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(a)) for k, a in sd.items()},
+        strict=True)
+    net.eval()
+    with torch.no_grad():
+        trunk, aux = net(torch.tensor(x.transpose(0, 3, 1, 2)))
+    out = model.apply(v, jnp.asarray(x), train=False)
+    w_out = np.asarray(v["params"]["Conv_0"]["kernel"])[0, 0]
+    b_out = np.asarray(v["params"]["Conv_0"]["bias"])
+    want_out = trunk.numpy().transpose(0, 2, 3, 1) @ w_out + b_out
+    np.testing.assert_allclose(np.asarray(out["out"]), want_out,
+                               atol=5e-4, rtol=1e-3)
+    w_aux = np.asarray(v["params"]["Conv_1"]["kernel"])[0, 0]
+    b_aux = np.asarray(v["params"]["Conv_1"]["bias"])
+    want_aux = aux.numpy().transpose(0, 2, 3, 1) @ w_aux + b_aux
+    np.testing.assert_allclose(np.asarray(out["aux"]), want_aux,
+                               atol=5e-4, rtol=1e-3)
 
 
 @pytest.mark.slow
