@@ -39,7 +39,7 @@ class _SdWriter:
 
     def __init__(self, variables: dict):
         self.params = variables["params"]
-        self.stats = variables["batch_stats"]
+        self.stats = variables.get("batch_stats", {})  # LN-only models
         self.sd: dict[str, np.ndarray] = {}
 
     def has(self, path: tuple) -> bool:
@@ -70,6 +70,24 @@ class _SdWriter:
     def wbn(self, path: tuple, name: str) -> None:
         """BN inside our `_BN` wrapper module (nested BatchNorm_0 scope)."""
         self.bn(path + ("BatchNorm_0",), name)
+
+    def dense(self, path: tuple, name: str) -> None:
+        leaf = _get(self.params, path)
+        self.sd[f"{name}.weight"] = _f32(leaf["kernel"]).T
+        if "bias" in leaf:
+            self.sd[f"{name}.bias"] = _f32(leaf["bias"])
+
+    def ln(self, path: tuple, name: str) -> None:
+        leaf = _get(self.params, path)
+        self.sd[f"{name}.weight"] = _f32(leaf["scale"])
+        self.sd[f"{name}.bias"] = _f32(leaf["bias"])
+
+    def convt(self, path: tuple, name: str) -> None:
+        leaf = _get(self.params, path)
+        k = _f32(leaf["kernel"]).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+        self.sd[f"{name}.weight"] = np.ascontiguousarray(k)
+        if "bias" in leaf:
+            self.sd[f"{name}.bias"] = _f32(leaf["bias"])
 
 
 def export_unet(variables: dict, upsample: str = "transpose") -> dict:
@@ -198,6 +216,75 @@ def export_googlenet(variables: dict) -> dict:
         basic(path + ("BasicConv2d_3",), f"{blk}.branch3.0")
         basic(path + ("BasicConv2d_4",), f"{blk}.branch3.1")
         basic(path + ("BasicConv2d_5",), f"{blk}.branch4.1")
+    return w.sd
+
+
+def export_segformer(variables: dict, depths=(3, 4, 18, 3)) -> dict:
+    """SegFormer variables -> HF ``SegformerForSemanticSegmentation``
+    state-dict naming, plus the reference's ``seq`` upsampling tail
+    (`nets.py:333-337`) when present. Inverse of
+    :func:`torch_import.import_segformer`.
+    """
+    w = _SdWriter(variables)
+    enc = ("MiTEncoder_0",)
+    sr_ratios = (8, 4, 2, 1)
+    blk_idx = 0
+    for s in range(4):
+        pe = f"segformer.encoder.patch_embeddings.{s}"
+        w.conv(enc + (f"Conv_{s}",), f"{pe}.proj")
+        w.ln(enc + (f"LayerNorm_{2 * s}",), f"{pe}.layer_norm")
+        for d in range(depths[s]):
+            base = f"segformer.encoder.block.{s}.{d}"
+            blk = enc + (f"MiTBlock_{blk_idx}",)
+            w.ln(blk + ("LayerNorm_0",), f"{base}.layer_norm_1")
+            att = blk + ("EfficientAttention_0",)
+            w.dense(att + ("Dense_0",), f"{base}.attention.self.query")
+            if sr_ratios[s] > 1:
+                w.conv(att + ("Conv_0",), f"{base}.attention.self.sr")
+                w.ln(att + ("LayerNorm_0",),
+                     f"{base}.attention.self.layer_norm")
+            w.dense(att + ("Dense_1",), f"{base}.attention.self.key")
+            w.dense(att + ("Dense_2",), f"{base}.attention.self.value")
+            w.dense(att + ("Dense_3",), f"{base}.attention.output.dense")
+            w.ln(blk + ("LayerNorm_1",), f"{base}.layer_norm_2")
+            ffn = blk + ("MixFFN_0",)
+            w.dense(ffn + ("Dense_0",), f"{base}.mlp.dense1")
+            w.conv(ffn + ("Conv_0",), f"{base}.mlp.dwconv.dwconv")
+            w.dense(ffn + ("Dense_1",), f"{base}.mlp.dense2")
+            blk_idx += 1
+        w.ln(enc + (f"LayerNorm_{2 * s + 1}",),
+             f"segformer.encoder.layer_norm.{s}")
+    head = ("SegFormerHead_0",)
+    for s in range(4):
+        w.dense(head + (f"Dense_{s}",), f"decode_head.linear_c.{s}.proj")
+    w.conv(head + ("Conv_0",), "decode_head.linear_fuse")
+    w.bn(head + ("BatchNorm_0",), "decode_head.batch_norm")
+    w.conv(head + ("Conv_1",), "decode_head.classifier")
+    if w.has(("ConvTranspose_0",)):   # reference tail
+        w.convt(("ConvTranspose_0",), "seq.0")
+        w.convt(("ConvTranspose_1",), "seq.2")
+        w.conv(("Conv_0",), "seq.4")
+    return w.sd
+
+
+def export_vit(variables: dict, depth: int = 12) -> dict:
+    """ViT variables -> DINO/timm naming. Inverse of
+    :func:`torch_import.import_vit` (retrieval trunks, notebook cells
+    37-62)."""
+    w = _SdWriter(variables)
+    w.sd["cls_token"] = _f32(w.params["cls_token"])
+    w.sd["pos_embed"] = _f32(w.params["pos_embed"])
+    w.conv(("Conv_0",), "patch_embed.proj")
+    for i in range(depth):
+        base = f"blocks.{i}"
+        blk = (f"ViTBlock_{i}",)
+        w.ln(blk + ("LayerNorm_0",), f"{base}.norm1")
+        w.dense(blk + ("Dense_0",), f"{base}.attn.qkv")
+        w.dense(blk + ("Dense_1",), f"{base}.attn.proj")
+        w.ln(blk + ("LayerNorm_1",), f"{base}.norm2")
+        w.dense(blk + ("Dense_2",), f"{base}.mlp.fc1")
+        w.dense(blk + ("Dense_3",), f"{base}.mlp.fc2")
+    w.ln(("LayerNorm_0",), "norm")
     return w.sd
 
 

@@ -11,11 +11,24 @@ import pytest
 
 from cvcs_tpu.models import build_model
 from cvcs_tpu.utils.torch_export import (
-    export_deeplab, export_googlenet, export_unet,
+    export_deeplab, export_googlenet, export_segformer, export_unet,
+    export_vit,
 )
 from cvcs_tpu.utils.torch_import import (
-    import_deeplab, import_googlenet, import_unet,
+    import_deeplab, import_googlenet, import_segformer, import_unet,
+    import_vit,
 )
+
+
+def _assert_tree_equal(variables, back):
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
 
 
 def _init_variables(patch=32):
@@ -73,6 +86,70 @@ def test_mobilenet_export_import_roundtrip():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def test_vit_export_import_roundtrip():
+    from cvcs_tpu.models.vit import ViT
+
+    model = ViT(dim=32, depth=2, heads=4, patch=8, pos_grid=4,
+                dtype=jnp.float32)
+    v = model.init({"params": jax.random.key(8)},
+                   jnp.zeros((1, 32, 32, 3), jnp.float32))
+    sd = export_vit(v, depth=2)
+    _assert_tree_equal(v, import_vit(sd, depth=2))
+
+
+def test_segformer_export_loads_into_hf_model():
+    """Tiny-config HF core: export strict-loads a fresh
+    SegformerForSemanticSegmentation and forwards match; exact roundtrip
+    via import_segformer."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import flax.linen as nn
+
+    from cvcs_tpu.models.segformer import (
+        MiTConfig, MiTEncoder, SegFormerHead,
+    )
+
+    depths, hidden = (1, 1, 1, 1), (8, 16, 32, 64)
+
+    class Core(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            feats = MiTEncoder(
+                MiTConfig(depths, hidden, (1, 2, 4, 8), decoder_dim=32),
+                dtype=jnp.float32)(x)
+            return SegFormerHead(16, 32, dtype=jnp.float32)(feats, train)
+
+    model = Core()
+    x = np.random.default_rng(6).random((1, 64, 64, 3), np.float32)
+    v = model.init({"params": jax.random.key(6)}, jnp.asarray(x),
+                   train=False)
+    sd = export_segformer(v, depths=depths)
+
+    back = import_segformer(sd, depths=depths)
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": v["params"], "batch_stats": v["batch_stats"]})
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+    cfg = transformers.SegformerConfig(
+        num_encoder_blocks=4, depths=list(depths),
+        hidden_sizes=list(hidden), num_attention_heads=[1, 2, 4, 8],
+        sr_ratios=[8, 4, 2, 1], decoder_hidden_size=32, num_labels=16)
+    ref = transformers.SegformerForSemanticSegmentation(cfg)
+    ref.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(a)) for k, a in sd.items()},
+        strict=True)
+    ref.eval()
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
 
 
 def test_googlenet_export_loads_into_torch_twin():
