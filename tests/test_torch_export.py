@@ -217,6 +217,31 @@ def test_deeplab_export_loads_into_torch_twin():
         out_j, out_t.transpose(0, 2, 3, 1), atol=2e-3, rtol=1e-3)
 
 
+def test_export_cli_roundtrip(tmp_path):
+    """cvcs-export CLI: Orbax checkpoint -> torch .pt file whose tensors
+    import back to the same variables."""
+    torch = pytest.importorskip("torch")
+    from cvcs_tpu.cli import export as export_cli
+    from cvcs_tpu.train import build_optimizer, create_train_state
+    from cvcs_tpu.train import checkpoint as ckpt_lib
+
+    model, _ = build_model("Unetv2", 16, dtype=jnp.float32)
+    state = create_train_state(
+        model, build_optimizer("SGD2"),
+        jnp.zeros((1, 32, 32, 3), jnp.uint8))
+    ckpt = ckpt_lib.save_checkpoint(
+        tmp_path, 0, state, [], [], 2, "SGD2")
+    out = tmp_path / "export.pt"
+    export_cli.export(dict(
+        net="Unetv2", load_checkpoint=str(ckpt), num_classes=15,
+        patch_size=32, output=str(out), precision="f32"))
+    sd = {k: np.asarray(v) for k, v in torch.load(
+        out, weights_only=True).items()}
+    back = import_unet(sd, upsample="transpose")
+    _assert_tree_equal(
+        {"params": state.params, "batch_stats": state.batch_stats}, back)
+
+
 def _reference_to_twin_names(sd: dict) -> dict:
     """Inverse of test_torch_import._twin_to_reference_names: reference
     checkpoint keys -> our torch twin's attribute naming."""
