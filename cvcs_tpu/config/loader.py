@@ -36,7 +36,7 @@ INFER_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "border_correction",
     "range", "mask_only", "out_image", "num_classes", "device", "output",
     "precision", "bug_parity", "batch_tiles", "load_context", "verbose",
-    "mesh", "tta", "in_channels", "stream_rows",
+    "mesh", "tta", "in_channels", "stream_rows", "ensemble_config",
 }
 
 

@@ -351,6 +351,10 @@ class SceneSegmenter:
         scene = np.asarray(scene)
         grid = TileGrid((scene.shape[0], scene.shape[1]), p)
         rows, cols = grid.rows, grid.cols
+        if rows == 0 or cols == 0:
+            raise ValueError(
+                f"scene {scene.shape[:2]} is smaller than one "
+                f"{p}x{p} patch — nothing to segment")
         host_bands = []
         prev = None   # fetch one band late to keep upload/compute overlap
         for r0 in range(0, rows, band_rows):
@@ -397,7 +401,10 @@ class SceneSegmenter:
         # closure per scene would re-trace and re-lower every call — the
         # same per-call re-jit bug measured at 10.7 s/call in
         # retrieval/features.py (fixed there with lru_cache).
-        key = (id(mesh), rows_local, grid.cols, pad)
+        # Mesh is hashable — keying on the object (not id()) keeps the
+        # cache correct if a Mesh is garbage-collected and a new one
+        # reuses the address.
+        key = (mesh, rows_local, grid.cols, pad)
         fn_jit = self._sharded_cache.get(key)
         if fn_jit is None:
             def body(variables, strip):

@@ -76,15 +76,33 @@ class Ensemble:
             image.shape[:1] + image.shape[1:3] + (self.num_classes,),
             jnp.int32)
         for m, mv in zip(self.members, member_variables):
-            if m.variables is None and mv is None:
+            # dispatch on the member's own style only: closure members
+            # ignore their (meaningless) entry, variables members require
+            # one — a silently mis-bound `image` arg would be a wrong-
+            # results bug, not an error
+            if m.variables is None:
                 pred = m.apply(image, context)
             else:
+                if mv is None:
+                    raise ValueError(
+                        f"member {m.name!r} holds variables but its "
+                        "member_variables entry is None")
                 pred = m.apply(mv, image, context)
             if m.returns_logits:
                 pred = jnp.argmax(pred, axis=-1)
             votes = votes + jax.nn.one_hot(pred, self.num_classes,
                                            dtype=jnp.int32)
         return jnp.argmax(votes, axis=-1).astype(jnp.int32)
+
+    def apply(self, member_variables: Sequence[Any], image: jnp.ndarray,
+              context: Any = None, train: bool = False) -> jnp.ndarray:
+        """``model.apply``-shaped adapter so the ensemble drops into the
+        engines that take ``(variables, image, context=..., train=...)``
+        (e.g. :class:`cvcs_tpu.infer.SceneSegmenter` — the reference's
+        `inference.py` accepts ``net: Ensemble`` through ``load_network``,
+        `utils.py:174-195`). ``member_variables`` is the traced pytree."""
+        del train   # members always run in inference mode
+        return self.vote(member_variables, image, context)
 
     def __call__(self, image: jnp.ndarray, context: Any = None) -> jnp.ndarray:
         return self.vote(self.member_variables, image, context)

@@ -118,6 +118,36 @@ def test_predict_cli(trained_ckpt, gid15_root, tmp_path, monkeypatch):
     np.testing.assert_array_equal(t0, stitched[:PATCH, :PATCH])
 
 
+def test_predict_cli_ensemble(trained_ckpt, gid15_root, tmp_path):
+    """`net: Ensemble` through the predict CLI — the reference's
+    `inference.py` builds its net via `load_network`, which dispatches
+    "Ensemble" (`utils.py:174-195`), so an ensemble inference config is a
+    legal reference workflow. Two members: the trained Unet checkpoint
+    plus a freshly-initialized Unetv2 (null checkpoint), voting per pixel
+    inside the whole-scene program."""
+    from cvcs_tpu.cli import predict as predict_cli
+    from cvcs_tpu.data.geometry import TileGrid
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = SceneDataset(str(gid15_root))
+    tpi = TileGrid(ds.image_shape, PATCH).tiles_per_image
+    members = tmp_path / "ensemble.yaml"
+    members.write_text(yaml.safe_dump(
+        {"Unet": str(trained_ckpt), "Unetv2": None}))
+    out_dir = tmp_path / "output"
+    out_map = tmp_path / "map.png"
+    cfg = dict(
+        dataset=str(gid15_root), net="Ensemble", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        ensemble_config=str(members),
+        range=[0, tpi], mask_only=True, out_image=str(out_map),
+        output=str(out_dir),
+    )
+    predict_cli.predict(cfg)
+    assert out_map.stat().st_size > 0
+    assert len(list(out_dir.glob("*.png"))) == tpi
+
+
 def test_predict_cli_streamed(trained_ckpt, gid15_root, tmp_path):
     """stream_rows: band-pipelined scene path must produce the same
     stitched map as the whole-scene program."""

@@ -25,7 +25,8 @@ BS = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 MODEL = sys.argv[3] if len(sys.argv) > 3 else "Unetv2"
 PATCH = int(sys.argv[4]) if len(sys.argv) > 4 else 224
-TRACE_DIR = "/tmp/tb_trace_r2"
+UPDATE_STATS = os.environ.get("UPDATE_STATS", "1") != "0"
+TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/tb_trace_r3")
 
 
 def main():
@@ -39,7 +40,7 @@ def main():
     state = create_train_state(
         model, optimizer, jnp.zeros((BS, PATCH, PATCH, 3), jnp.uint8))
     multi_step = make_multi_train_step(build_loss("CEL"),
-                                       update_stats=False)
+                                       update_stats=UPDATE_STATS)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (K, BS, PATCH, PATCH, 3), np.uint8))

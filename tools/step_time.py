@@ -29,12 +29,13 @@ def main():
     from cvcs_tpu.train import build_optimizer, create_train_state
     from cvcs_tpu.train.step import make_multi_train_step
 
+    update_stats = os.environ.get("UPDATE_STATS", "1") != "0"
     model, spec = build_model(MODEL, 16)
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((BS, PATCH, PATCH, 3), jnp.uint8))
     multi_step = make_multi_train_step(build_loss("CEL"),
-                                       update_stats=False)
+                                       update_stats=update_stats)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (K, BS, PATCH, PATCH, 3), np.uint8))
@@ -58,7 +59,8 @@ def main():
     tn = timed(1 + REPS)
     step_ms = (tn - t1) / REPS / K * 1000
     tiles = BS / (step_ms / 1000) / (512 * 512 / PATCH / PATCH)
-    print(f"RESULT model={MODEL} bs={BS} k={K}: {step_ms:.1f} ms/step  "
+    print(f"RESULT model={MODEL} bs={BS} k={K} "
+          f"update_stats={update_stats}: {step_ms:.1f} ms/step  "
           f"{tiles:.1f} tiles512/s  flags={os.environ.get('LIBTPU_INIT_ARGS', '')}"
           f" xla={os.environ.get('XLA_FLAGS', '')}")
 
