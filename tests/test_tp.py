@@ -70,6 +70,67 @@ def test_tp_compiled_hlo_is_sharded_compute():
         + "\n".join(conv_lines[:20]))
 
 
+def _compiled_tp_hlo(model_name: str, size: int) -> str:
+    """Compile a TP forward of a zoo model on the 8-device mesh and return
+    the post-SPMD HLO text."""
+    mesh = create_mesh(MeshConfig(data=1, spatial=N_DEV))
+    model, _ = build_model(model_name, 16, dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.key(0), (2, size, size, 3)) * 255
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(1)}, x, train=False)
+
+    def fwd(params, batch_stats, a):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, a, train=False)
+
+    tp_params = shard_params(variables["params"], mesh, min_channels=512)
+    with tensor_parallel(mesh, "spatial", min_channels=512):
+        compiled = (jax.jit(fwd)
+                    .lower(tp_params, variables["batch_stats"], x)
+                    .compile())
+    return compiled.as_text()
+
+
+def _compute_widths(txt: str) -> set:
+    """Output-channel widths of every conv/dot in the compiled HLO."""
+    out = set()
+    for line in txt.splitlines():
+        m = re.search(r"f32\[([0-9,]+)\]\S* (?:convolution|dot)\(", line)
+        if m:
+            out.add(int(m.group(1).split(",")[-1]))
+    return out
+
+
+def test_tp_resnet101_hlo_is_sharded_compute():
+    """`parallel/tp.py` claims a constrain hook at ResNet-101's 2048-ch
+    stage 4 (`models/resnet.py`): the compiled HLO must contain collectives
+    and NO conv/dot at the full 512/1024/2048 widths — stage 3/4 compute
+    runs at the per-partition widths (e.g. 2048/8 = 256), not replicated
+    after an all-gather (the round-1 failure mode)."""
+    txt = _compiled_tp_hlo("Resnet101", 64)
+    assert any(op in txt for op in
+               ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute")), "no collectives in compiled HLO"
+    widths = _compute_widths(txt)
+    assert not widths & {512, 1024, 2048}, (
+        f"full-width conv/dot survived — compute is replicated: {widths}")
+    assert 256 in widths, (  # 2048/8: stage-4 blocks at partition width
+        f"no per-partition stage-4 conv/dot: {widths}")
+
+
+def test_tp_segformer_b3_hlo_is_sharded_compute():
+    """Same for SegFormer-B3's 512-ch stage 4 (`models/segformer.py`):
+    no conv/dot at the full 512 (attention/proj) or 2048 (MixFFN hidden)
+    widths — those run at 512/8 = 64 and 2048/8 = 256 per partition."""
+    txt = _compiled_tp_hlo("SegformerMod", 64)
+    assert any(op in txt for op in
+               ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute")), "no collectives in compiled HLO"
+    widths = _compute_widths(txt)
+    assert not widths & {512, 2048}, (
+        f"full-width stage-4 dot survived — compute is replicated: {widths}")
+
+
 def test_tp_per_device_param_memory_shrinks():
     mesh, model, x, variables, fwd = _setup()
     tp_params = shard_params(variables["params"], mesh, min_channels=64)
