@@ -90,8 +90,11 @@ def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4,
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
+    # the SHIPPED default path (bn_exact_stats=True, train/loop.py):
+    # measured FASTER than update_stats=False on v5e (220.3 vs 238.9
+    # ms/step, bs 128) — the headline must bench what ships
     multi_step = make_multi_train_step(build_loss("CEL"),
-                                       update_stats=False)
+                                       update_stats=True)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (k, bs, PATCH, PATCH, 3), np.uint8))

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from cvcs_tpu.cli import common
 from cvcs_tpu.config.loader import EVAL_KEYS, validate_keys
+from cvcs_tpu.core import mesh as mesh_lib
 from cvcs_tpu.data.loader import ChunkLoader
 from cvcs_tpu.metrics import confusion as conf_lib
 from cvcs_tpu.metrics import scores
@@ -31,26 +32,36 @@ def evaluate(config: dict) -> dict:
     num_classes = int(config.get("num_classes", 15)) + 1
     batch_size = int(config.get("batch_size", 8))
     ignore = 0 if config.get("ignore_background") else None
+    # `mesh: {data: N}` — evaluation scales like train/predict: weights
+    # replicate, batches shard over the data axis, and the confusion
+    # fold's one-hot contraction over the sharded batch dim psum-reduces
+    # over ICI (the reference evaluates at batch 1 on one device,
+    # `utils.py:59-103` — its worst hot spot).
+    mesh = common.mesh_from_config(config)
 
     # In both paths the restored weights ride as traced jit ARGUMENTS:
     # closing them over would bake every parameter into the HLO as a
     # constant (bloats the program — the tunnel's remote compiler rejects
     # a 3-member ensemble at 413 — and defeats donation/sharing).
+    import jax
+
     if config["net"] == "Ensemble":
         ens = common.build_ensemble(config, config["patch_size"])
-        import jax
 
         # the whole member-forwards + one-hot vote jits into one program
         vote = jax.jit(
             lambda mvars, image, context: ens.vote(
                 mvars, image.astype(jnp.float32), context))
         mvars = ens.member_variables
+        if mesh is not None:
+            mvars = mesh_lib.replicate(mvars, mesh)
         predict = lambda image, context: vote(mvars, image, context)
     else:
         model, spec, _ = common.build_net(config)
         variables = common.restore_variables(config, model,
                                              config["patch_size"])
-        import jax
+        if mesh is not None:
+            variables = mesh_lib.replicate(variables, mesh)
 
         @jax.jit
         def _predict(variables, image, context):
@@ -67,8 +78,13 @@ def evaluate(config: dict) -> dict:
         chunk = loader.get_chunk(c, shuffle_patches=False)
         conf = conf_lib.confusion_matrix(num_classes)
         for batch in chunk.batches(batch_size, drop_last=False):
-            pred = predict(batch.image, batch.context)
-            mask = batch.mask
+            image, context, mask = batch.image, batch.context, batch.mask
+            if mesh is not None:
+                sharded = mesh_lib.shard_batch(
+                    {"image": image, "mask": mask, "context": context}, mesh)
+                image, mask = sharded["image"], sharded["mask"]
+                context = sharded["context"]
+            pred = predict(image, context)
             if batch.valid is not None:
                 mask = jnp.where(batch.valid[:, None, None], mask,
                                  num_classes + 1)

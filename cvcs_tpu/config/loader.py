@@ -30,7 +30,7 @@ EVAL_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "load_context",
     "load_color_mask", "num_classes", "ignore_background", "verbose",
     "confusion_matrix", "priors", "images", "device", "ensemble_config",
-    "precision", "batch_size", "in_channels",
+    "precision", "batch_size", "in_channels", "mesh",
 }
 INFER_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "border_correction",

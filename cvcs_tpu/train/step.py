@@ -28,13 +28,13 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
 
     ``update_stats=False`` drops the BN running-average update from the
     program: BN still normalizes with the current batch's statistics, so
-    losses and gradients are identical. Honest chained-dependency timing on
-    v5e (bs 128) shows no measurable wall-clock difference vs the exact
-    path (~330 ms either way — earlier apparent wins came from timing
-    independent repeats, see CLAUDE.md); the option is kept because it
-    shrinks the step's output set and pairs with :func:`make_stats_step`
-    for periodic refresh, but reference-exact per-step updates are the
-    default.
+    losses and gradients are identical. Honest chained-dependency timing
+    on v5e (bs 128, round 3) measures the default exact path FASTER
+    (220.3 ms/step vs 238.9 with the update dropped — pruning the EMA
+    outputs changes XLA's fusion shapes for the worse); the option is
+    kept only because it pairs with :func:`make_stats_step` for periodic
+    refresh. Reference-exact per-step updates are the default and the
+    benched path.
     """
 
     def train_step(state, image, mask, context, lr, dropout_key):

@@ -118,6 +118,26 @@ def test_predict_cli(trained_ckpt, gid15_root, tmp_path, monkeypatch):
     np.testing.assert_array_equal(t0, stitched[:PATCH, :PATCH])
 
 
+def test_evaluate_cli_mesh_sharded(trained_ckpt, gid15_root):
+    """`mesh: {data: 8}` in an evaluation config shards eval batches over
+    the 8-device mesh (weights replicated, confusion fold psum-reduced);
+    the resulting confusion totals — hence every metric — must be
+    bit-equal to the single-device run."""
+    from cvcs_tpu.cli import evaluate as eval_cli
+
+    base = dict(
+        dataset=str(gid15_root), net="Unet", patch_size=PATCH,
+        num_classes=15, precision="f32", batch_size=8,
+        load_checkpoint=str(trained_ckpt), images=[0, 1],
+    )
+    single = eval_cli.evaluate(dict(base))
+    sharded = eval_cli.evaluate(dict(base, mesh={"data": 8}))
+    assert single.keys() == sharded.keys()
+    for k in single:
+        np.testing.assert_array_equal(np.asarray(single[k]),
+                                      np.asarray(sharded[k]), err_msg=k)
+
+
 def test_predict_cli_ensemble(trained_ckpt, gid15_root, tmp_path):
     """`net: Ensemble` through the predict CLI — the reference's
     `inference.py` builds its net via `load_network`, which dispatches
