@@ -36,4 +36,27 @@ def test_dryrun_multichip_hermetic_to_cpu():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}")
     assert "OK8" in proc.stdout
     assert "DP train step over 8 devices" in proc.stdout
-    assert "spatial inference over 8 devices" in proc.stdout
+    assert "combined mesh (data=2, spatial=4)" in proc.stdout
+    assert "DP eval" in proc.stdout
+    assert "TP over 8 devices" in proc.stdout
+
+
+def test_dryrun_multihost():
+    """The DCN-analogue leg: 2 processes x 4 virtual CPU devices with gloo
+    cross-process collectives must run a DP train step (gradient psum over
+    the process boundary, loss == single-device) and a collective Orbax
+    checkpoint save/restore. Driver-shaped: spawned exactly as
+    ``dryrun_multihost`` does it."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import __graft_entry__ as g; g.dryrun_multihost(); print('OKMH')"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (
+        f"dryrun_multihost failed:\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-4000:]}")
+    assert "OKMH" in proc.stdout
+    assert "gloo cross-process collectives" in proc.stdout
