@@ -24,9 +24,80 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+from flax.linen import normalization as _fnorm
 
 from cvcs_tpu.ops.resize import upsample_bilinear
+
+
+class BatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` with torch's running-variance semantics.
+
+    NOTE the class is named ``BatchNorm`` on purpose: flax derives scope
+    names from ``type(self).__name__``, so this keeps every submodule
+    named ``BatchNorm_N`` — existing Orbax checkpoints and the torch
+    importers/exporters see identical trees.
+
+    torch's ``F.batch_norm`` updates ``running_var`` with the UNBIASED
+    sample variance (factor n/(n-1)) while normalizing the batch with the
+    biased one; flax uses the biased variance for both. The factor is
+    tiny (n = B*H*W pixels per channel) but it is a real, measurable
+    cross-framework divergence in the BN state after training
+    (`tests/test_train_parity_torch.py` pins the trajectory). This
+    subclass applies the correction in the EMA update only — variable /
+    param names, init, dtype handling, and the normalization math are
+    inherited, so checkpoints, importers, and exporters are unchanged.
+    The whole zoo uses it (reference nets train with torch BN,
+    `blocks.py:8-24`, torchvision backbones, HF SegFormer).
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *,
+                 mask=None):
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (jnp.float32 if self.force_float32_reductions
+                       else self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, stats_dtype), feature_shape)
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, stats_dtype), feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _fnorm._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = int(np.prod([x.shape[a] for a in reduction_axes]))
+                correction = n / max(n - 1, 1)   # torch unbiased EMA
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var * correction)
+
+        return _fnorm._normalize(
+            self, x, mean, var, reduction_axes, feature_axes,
+            self.dtype, self.param_dtype, self.epsilon,
+            self.use_bias, self.use_scale, self.bias_init, self.scale_init,
+            self.force_float32_reductions)
+
+
+TorchBatchNorm = BatchNorm   # explicit-intent alias used at call sites
 
 
 class ConvBNAct(nn.Module):
@@ -50,7 +121,7 @@ class ConvBNAct(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -102,7 +173,7 @@ class DecodeBlock(nn.Module):
                 param_dtype=self.param_dtype,
             )(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

@@ -25,6 +25,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvcs_tpu.models.blocks import TorchBatchNorm
+
 from cvcs_tpu.models.mobilenet import MobileNetV3Backbone
 from cvcs_tpu.models.resnet import (
     resnet18_features,
@@ -41,7 +43,7 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype)(x)
 

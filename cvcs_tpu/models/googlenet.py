@@ -17,6 +17,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvcs_tpu.models.blocks import TorchBatchNorm
+
 
 class BasicConv2d(nn.Module):
     features: int
@@ -32,7 +34,7 @@ class BasicConv2d(nn.Module):
                     strides=self.strides, padding=self.padding,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=self.param_dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)
         return nn.relu(x)

@@ -21,6 +21,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvcs_tpu.models.blocks import TorchBatchNorm
+
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
     new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
@@ -70,7 +72,7 @@ class _BN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # torchvision MobileNetV3 uses eps 1e-3, momentum 0.01.
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype, param_dtype=self.param_dtype)(x)
 

@@ -20,6 +20,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvcs_tpu.models.blocks import TorchBatchNorm
+
 
 class _BN(nn.Module):
     dtype: Any = jnp.bfloat16
@@ -27,7 +29,7 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype)(x)
 

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cvcs_tpu.models.blocks import TorchBatchNorm
+
 from cvcs_tpu.ops.resize import resize_bilinear
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -200,7 +202,7 @@ class SegFormerHead(nn.Module):
         # HF concatenates in reversed stage order.
         y = jnp.concatenate(proj[::-1], axis=-1)
         y = nn.Conv(self.decoder_dim, (1, 1), use_bias=False, **kw)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, **kw)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)

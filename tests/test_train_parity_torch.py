@@ -23,6 +23,131 @@ PATCH = 32
 
 
 @pytest.mark.slow
+def test_two_epoch_recipe_matches_torch():
+    """The canonical recipe (`configs/train/server.yaml` semantics) in
+    miniature, run step-for-step in both frameworks: 2 epochs x 4 steps of
+    wCEL (balanced class weights, background excluded/ignored) + SGD2 with
+    per-epoch PolynomialLR + exact per-step BN running-stat updates, on
+    identical synthetic data in identical order (`train.py:104-169`).
+    Pins: every per-step loss, the final parameters, BN running stats,
+    and the eval-mode confusion matrix on a held-out batch."""
+    from cvcs_tpu.metrics.confusion import confusion_matrix, update_confusion
+    from cvcs_tpu.train.optim import polynomial_lr
+
+    torch.manual_seed(11)
+    twin = TorchUrnetv2(16).train()
+    variables = torch_import.import_unet(
+        _twin_to_reference_names(twin), upsample="transpose")
+
+    rng = np.random.default_rng(11)
+    epochs, steps, bs = 2, 4, 4
+    imgs = rng.integers(0, 256, (epochs * steps, bs, PATCH, PATCH, 3)
+                        ).astype(np.uint8)
+    msks = rng.integers(0, 16, (epochs * steps, bs, PATCH, PATCH)
+                        ).astype(np.int64)
+    held_img = rng.integers(0, 256, (bs, PATCH, PATCH, 3)).astype(np.uint8)
+    held_msk = rng.integers(0, 16, (bs, PATCH, PATCH)).astype(np.int64)
+
+    # balanced class weights from the train masks, background excluded
+    # (weight 0) — `dataset.py:360-384`
+    counts = np.bincount(msks.reshape(-1), minlength=16).astype(np.float64)
+    w = counts.sum() / (15 * np.maximum(counts, 1))
+    w[0] = 0.0
+    w = w.astype(np.float32)
+
+    lr0 = 6e-3
+
+    # --- torch loop ------------------------------------------------------
+    opt = torch.optim.SGD(twin.parameters(), lr=lr0, momentum=0.9,
+                          weight_decay=1e-5)
+    sched = torch.optim.lr_scheduler.PolynomialLR(opt, total_iters=20)
+    crit = torch.nn.CrossEntropyLoss(weight=torch.tensor(w), ignore_index=0)
+    t_losses = []
+    for e in range(epochs):
+        for s in range(steps):
+            x = torch.tensor(
+                imgs[e * steps + s].transpose(0, 3, 1, 2).astype(np.float32))
+            y = torch.tensor(msks[e * steps + s])
+            opt.zero_grad()
+            loss = crit(twin(x), y)
+            loss.backward()
+            opt.step()
+            t_losses.append(float(loss))
+        sched.step()
+    twin.eval()
+    with torch.no_grad():
+        t_pred = twin(torch.tensor(
+            held_img.transpose(0, 3, 1, 2).astype(np.float32))
+        ).argmax(dim=1).numpy()
+
+    # --- our loop --------------------------------------------------------
+    model, spec = build_model("Unetv2", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    step = make_train_step(
+        build_loss("wCEL", weights=w, ignore_background=True),
+        update_stats=True)
+    lr_fn = polynomial_lr(lr0, total_iters=20)
+    j_losses = []
+    for e in range(epochs):
+        lr = lr_fn(e)
+        for s in range(steps):
+            state, loss = step(
+                state, jnp.asarray(imgs[e * steps + s]),
+                jnp.asarray(msks[e * steps + s].astype(np.int32)),
+                jnp.zeros((), jnp.uint8), jnp.float32(lr),
+                jax.random.key(0))
+            j_losses.append(float(loss))
+
+    # per-step loss trajectory
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3)
+
+    # final parameters and BN running stats via the importer mapping
+    final = torch_import.import_unet(
+        _twin_to_reference_names(twin), upsample="transpose")
+    for ours, theirs, what in (
+            (state.params, final["params"], "params"),
+            (state.batch_stats, final["batch_stats"], "batch_stats")):
+        a = jax.tree_util.tree_leaves(ours)
+        b = jax.tree_util.tree_leaves(theirs)
+        assert len(a) == len(b)
+        # mixed atol+rtol per leaf: BN running stats track raw 0-255
+        # activations (vars in the thousands — rtol covers the known
+        # torch unbiased-vs-biased EMA factor n/(n-1), here 2.4e-4, and
+        # reduction-order drift), params are O(1e-1) with measured 1e-3
+        # max-abs drift after 8 compounding f32 steps (atol covers).
+        # Real recipe divergence (wrong lr/wd/momentum/EMA) shows up
+        # orders of magnitude larger.
+        # measured worst case: params 1.0e-3 abs; batch_stats 1 element
+        # in 512 at 2.3e-3 abs (param drift feeds back into batch
+        # variances). Real recipe bugs (wrong lr/wd/momentum/EMA factor)
+        # exceed these by orders of magnitude.
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-2, atol=5e-3,
+                err_msg=f"{what} diverged after 8 steps")
+
+    # eval-mode (running-stats) confusion matrix on the held-out batch
+    j_pred = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(held_img, jnp.float32), train=False)
+    j_pred = np.asarray(jnp.argmax(j_pred, axis=-1))
+    conf_t = np.asarray(update_confusion(
+        confusion_matrix(16), jnp.asarray(t_pred),
+        jnp.asarray(held_msk.astype(np.int32)), num_classes=16))
+    conf_j = np.asarray(update_confusion(
+        confusion_matrix(16), jnp.asarray(j_pred),
+        jnp.asarray(held_msk.astype(np.int32)), num_classes=16))
+    # identical up to argmax flips on near-ties
+    disagree = np.abs(conf_t - conf_j).sum() / 2 / held_msk.size
+    assert disagree < 5e-3, (
+        f"{disagree:.2%} of held-out pixels classified differently")
+
+
+@pytest.mark.slow
 def test_one_sgd_step_matches_torch():
     torch.manual_seed(7)
     twin = TorchUrnetv2(16).train()
