@@ -29,12 +29,13 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
     ``update_stats=False`` drops the BN running-average update from the
     program: BN still normalizes with the current batch's statistics, so
     losses and gradients are identical. Honest chained-dependency timing
-    on v5e (bs 128, round 3) measures the default exact path FASTER
-    (220.3 ms/step vs 238.9 with the update dropped — pruning the EMA
-    outputs changes XLA's fusion shapes for the worse); the option is
-    kept only because it pairs with :func:`make_stats_step` for periodic
-    refresh. Reference-exact per-step updates are the default and the
-    benched path.
+    on v5e (bs 128, rounds 2-3) finds the two paths wall-clock-equivalent
+    — a one-session 220 vs 239 ms split did not replicate (same program
+    re-measured 238-240 ms; the tunnel has ~8% program-level run
+    variance, see BASELINE.md round 3). The option is kept only because
+    it pairs with :func:`make_stats_step` for periodic refresh.
+    Reference-exact per-step updates are the default and the benched
+    path.
     """
 
     def train_step(state, image, mask, context, lr, dropout_key):
