@@ -104,6 +104,13 @@ def predict(config: dict) -> None:
         if mesh is not None:
             raw = dataset.load_image(s)
             labels = seg.predict_scene_sharded(raw, mesh)
+        elif config.get("fullconv_bands"):
+            # opt-in seamless full-convolution mode (beyond-reference):
+            # bands of N tile-rows forward as whole convolutions — no
+            # window overlap compute, no tile seams inside a band
+            raw = dataset.load_image(s)
+            labels = seg.predict_scene_fullconv(
+                raw, band_rows=int(config["fullconv_bands"]))
         elif config.get("stream_rows"):
             # band-pipelined: only stream_rows tile-rows (+ halo) of
             # imagery are device-resident at a time (giant rasters)

@@ -102,6 +102,16 @@ class SceneSegmenter:
                                       static_argnames=("cols",))
         self._run_scenes_jit = jax.jit(self._run_scenes,
                                        static_argnames=("rows", "cols"))
+        self._fullconv_jit = jax.jit(
+            self._fullconv_forward,
+            static_argnames=("out_h", "out_w", "halo"))
+        self._fullconv_band_jit = jax.jit(
+            self._fullconv_band,
+            static_argnames=("band_h", "out_h", "out_w", "halo"))
+        self._fullconv_band_chunked_jit = jax.jit(
+            self._fullconv_band_chunked,
+            static_argnames=("band_h", "chunk_w", "n_chunks", "out_h",
+                             "chunk_out_w", "halo"))
         self._sharded_cache = {}   # (mesh id, geometry) -> jitted shard_map
 
     # -- geometry ------------------------------------------------------------
@@ -372,6 +382,172 @@ class SceneSegmenter:
             prev = cur
         host_bands.append(np.asarray(prev))
         return np.concatenate(host_bands, axis=0)
+
+    # -- full-convolutional banded path (opt-in, beyond-reference) -------------
+    def _fullconv_forward(self, variables, band_pad, out_h: int, out_w: int,
+                          halo: int):
+        """One halo-padded band -> (out_h, out_w) uint8 labels via a single
+        full-convolution forward (no windows)."""
+        x = band_pad.astype(jnp.float32)[None]
+        out = self.apply_fn(variables, x, context=None, train=False)
+        if self.returns_logits:
+            out = jnp.argmax(out, axis=-1)
+        lab = lax.dynamic_slice(
+            out.astype(jnp.uint8), (0, halo, halo), (1, out_h, out_w))
+        return lab[0]
+
+    def predict_scene_fullconv(self, scene, band_rows: int = 8,
+                               halo: int | None = None) -> np.ndarray:
+        """Seamless full-convolutional inference (opt-in; NOT the
+        reference's per-window semantics).
+
+        The window path forwards one bc x bc window per p x p tile —
+        bc²/p² = 1.31x the scene's pixels at p224/bc256, all of it
+        re-gathered per tile. The nets are fully convolutional, so each
+        band of ``band_rows`` tile-rows can instead run as ONE
+        convolution over the halo-padded band: compute overhead drops to
+        ~(1 + 2*halo/band_h)(1 + 2*halo/W) ≈ 1.03x, the per-tile gather
+        stage disappears, and there are NO tile seams inside a band at
+        all (the reference's border correction only softens them).
+        Residual band boundaries every ``band_rows * p`` rows see
+        ``halo`` px of real context — the same per-edge context the
+        border-corrected window path gives every tile.
+
+        ``halo`` defaults to (bc - p)//2. Band shapes must satisfy the
+        model's divisibility constraint (UNet family: /16) — i.e.
+        ``band_rows * p + 2*halo`` and ``cols * p + 2*halo`` divisible
+        by 16 for the defaults. Bands stream through the device like
+        :meth:`predict_scene_streamed` (one band of imagery + two label
+        bands resident). Returns HOST uint8 (H', W') labels.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        if halo is None:
+            halo = (bc - p) // 2
+        scene = np.asarray(scene)
+        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        rows, cols = grid.rows, grid.cols
+        if rows == 0 or cols == 0:
+            raise ValueError(
+                f"scene {scene.shape[:2]} is smaller than one "
+                f"{p}x{p} patch — nothing to segment")
+        w = cols * p
+        right = min(scene.shape[1], w + halo)   # real pixels where present
+        zr = halo - (right - w)
+        host_bands = []
+        prev = None   # one band late -> upload overlaps compute
+        for r0 in range(0, rows, band_rows):
+            br = min(band_rows, rows - r0)
+            y0, y1 = r0 * p, (r0 + br) * p
+            top = max(0, y0 - halo)
+            bot = min(scene.shape[0], y1 + halo)
+            zt, zb = halo - (y0 - top), max(0, halo - (bot - y1))
+            band = jnp.asarray(scene[top:bot, :right])
+            band_pad = jnp.pad(band, ((zt, zb), (halo, zr), (0, 0)))
+            cur = self._fullconv_jit(self.variables, band_pad, br * p, w,
+                                     halo)
+            if prev is not None:
+                host_bands.append(np.asarray(prev))
+            prev = cur
+        host_bands.append(np.asarray(prev))
+        return np.concatenate(host_bands, axis=0)
+
+    def pad_scene_fullconv(self, scene, halo: int | None = None):
+        """Upload + halo-pad a scene ONCE for :meth:`predict_padded_fullconv`
+        (the device-resident analogue of :meth:`pad_scene` for the window
+        path). Real pixels fill the bottom/right halo where the raster
+        extends past the tile grid; zeros elsewhere. Returns
+        ``(padded uint8 device array (H'+2h, W'+2h, C), rows, cols, halo)``.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        if halo is None:
+            halo = (bc - p) // 2
+        scene = np.asarray(scene)
+        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        rows, cols = grid.rows, grid.cols
+        if rows == 0 or cols == 0:
+            raise ValueError(
+                f"scene {scene.shape[:2]} is smaller than one "
+                f"{p}x{p} patch — nothing to segment")
+        h, w = rows * p, cols * p
+        bot = min(scene.shape[0], h + halo)
+        right = min(scene.shape[1], w + halo)
+        core = jnp.asarray(scene[:bot, :right])
+        padded = jnp.pad(core, ((halo, h + halo - bot),
+                                (halo, w + halo - right), (0, 0)))
+        return padded, rows, cols, halo
+
+    def _fullconv_band(self, variables, padded, r0, band_h: int,
+                       out_h: int, out_w: int, halo: int):
+        """dynamic_slice one halo-overlapped band out of the device-resident
+        padded scene and forward it (slice offsets are traced operands, so
+        all full bands share ONE compiled program; the tail band is a
+        second)."""
+        band = lax.dynamic_slice(
+            padded, (r0, 0, 0),
+            (band_h, padded.shape[1], padded.shape[2]))
+        x = band.astype(jnp.float32)[None]
+        out = self.apply_fn(variables, x, context=None, train=False)
+        if self.returns_logits:
+            out = jnp.argmax(out, axis=-1)
+        lab = lax.dynamic_slice(
+            out.astype(jnp.uint8), (0, halo, halo), (1, out_h, out_w))
+        return lab[0]
+
+    def _fullconv_band_chunked(self, variables, padded, r0, band_h: int,
+                               chunk_w: int, n_chunks: int, out_h: int,
+                               chunk_out_w: int, halo: int):
+        """Split one band into a BATCH of halo-overlapped column chunks and
+        forward them together: batched squarer tensors lower to faster conv
+        shapes on the MXU than one batch-1 full-width band (measured 26.0 →
+        16.8 ns/px at 32x704x928 vs 1x1376x7232, `tools/fc_shape_probe.py`),
+        at the cost of seams every ``chunk_out_w`` columns (each healed with
+        ``halo`` px of real context, like the window path's borders)."""
+        chunks = [
+            lax.dynamic_slice(
+                padded, (r0, i * chunk_out_w, 0),
+                (band_h, chunk_w, padded.shape[2]))
+            for i in range(n_chunks)]
+        x = jnp.stack(chunks).astype(jnp.float32)
+        out = self.apply_fn(variables, x, context=None, train=False)
+        if self.returns_logits:
+            out = jnp.argmax(out, axis=-1)
+        labs = lax.dynamic_slice(
+            out.astype(jnp.uint8), (0, halo, halo),
+            (n_chunks, out_h, chunk_out_w))
+        return labs.transpose(1, 0, 2).reshape(out_h, n_chunks * chunk_out_w)
+
+    def predict_padded_fullconv(self, padded, rows: int, cols: int,
+                                halo: int, band_rows: int = 8,
+                                col_tiles: int | None = None):
+        """Device-resident full-convolution inference over a scene padded by
+        :meth:`pad_scene_fullconv`: no host round-trips between bands —
+        returns the stitched (rows*p, cols*p) uint8 label map ON DEVICE
+        (export with :meth:`export_map` / ``np.asarray``). Same label
+        semantics as :meth:`predict_scene_fullconv` when ``col_tiles`` is
+        None; with ``col_tiles=k`` each band runs as a batch of k-tile-wide
+        column chunks (must divide ``cols``) — faster conv shapes, seams
+        every ``k*p`` columns instead of none."""
+        p = self.cfg.patch_size
+        w = cols * p
+        bands = []
+        if col_tiles is not None and cols % col_tiles:
+            raise ValueError(
+                f"col_tiles={col_tiles} must divide the scene's "
+                f"{cols} tile columns")
+        for r0 in range(0, rows, band_rows):
+            br = min(band_rows, rows - r0)
+            if col_tiles is None:
+                bands.append(self._fullconv_band_jit(
+                    self.variables, padded, r0 * p, br * p + 2 * halo,
+                    br * p, w, halo))
+            else:
+                bands.append(self._fullconv_band_chunked_jit(
+                    self.variables, padded, r0 * p, br * p + 2 * halo,
+                    col_tiles * p + 2 * halo, cols // col_tiles,
+                    br * p, col_tiles * p, halo))
+        return jnp.concatenate(bands, axis=0)
 
     # -- multi-device spatially-sharded path -----------------------------------
     def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:

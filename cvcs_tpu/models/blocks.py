@@ -223,10 +223,15 @@ class ConvTranspose(nn.Module):
         return y + jnp.asarray(bias, self.dtype)
 
 
-def center_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
+def center_crop(x: jnp.ndarray, size) -> jnp.ndarray:
     """Center-crop the spatial dims of an NHWC tensor to ``size`` (the
-    reference's torchvision ``functional.center_crop`` at `nets.py:109`)."""
+    reference's torchvision ``functional.center_crop`` at `nets.py:109`).
+
+    ``size`` is an int (square, torchvision int semantics — all the
+    reference ever passes) or an ``(out_h, out_w)`` pair, needed for the
+    non-square bands of the full-convolution inference path."""
+    out_h, out_w = (size, size) if isinstance(size, int) else size
     h, w = x.shape[1], x.shape[2]
-    top = (h - size) // 2
-    left = (w - size) // 2
-    return x[:, top:top + size, left:left + size, :]
+    top = (h - out_h) // 2
+    left = (w - out_w) // 2
+    return x[:, top:top + out_h, left:left + out_w, :]

@@ -124,7 +124,7 @@ class UNet(nn.Module):
         y = up(y)
         # Reference center-crops the upsampled tensor to the skip's spatial
         # size at this level only (`nets.py:109`).
-        y = center_crop(y, x2.shape[1])
+        y = center_crop(y, (x2.shape[1], x2.shape[2]))
         y = DecodeBlock(128, dtype=self.dtype,
                         param_dtype=self.param_dtype)(
             jnp.concatenate([y, x2], axis=-1), train)

@@ -195,6 +195,33 @@ def test_predict_cli_streamed(trained_ckpt, gid15_root, tmp_path):
     np.testing.assert_array_equal(maps[0], maps[1])
 
 
+def test_predict_cli_fullconv(trained_ckpt, gid15_root, tmp_path):
+    """fullconv_bands: the seamless banded full-convolution path must
+    drive the same export surface (per-patch PNGs + stitched map) with
+    the stitched geometry of the window path."""
+    from PIL import Image
+
+    from cvcs_tpu.cli import predict as predict_cli
+    from cvcs_tpu.data.geometry import TileGrid
+    from cvcs_tpu.data.reader import SceneDataset
+
+    ds = SceneDataset(str(gid15_root))
+    grid = TileGrid(ds.image_shape, PATCH)
+    tpi = grid.tiles_per_image
+    out_map = tmp_path / "map_fc.png"
+    out_dir = tmp_path / "o_fc"
+    cfg = dict(
+        dataset=str(gid15_root), net="Unet", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        load_checkpoint=str(trained_ckpt), mask_only=True,
+        range=[0, tpi], out_image=str(out_map), output=str(out_dir),
+        fullconv_bands=1)
+    predict_cli.predict(cfg)
+    stitched = np.asarray(Image.open(out_map))
+    assert stitched.shape == (grid.rows * PATCH, grid.cols * PATCH, 3)
+    assert len(list(out_dir.glob("*.png"))) == tpi
+
+
 def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     from PIL import Image
 

@@ -5,6 +5,7 @@ multi-device path vs single-device (SURVEY §4: 8-virtual-device mesh)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cvcs_tpu.core.mesh import MeshConfig, create_mesh
 from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
@@ -127,3 +128,71 @@ def test_exports(tmp_path):
     # tile 0 must be the top-left patch of the stitched map
     t0 = np.asarray(Image.open(patches[0]))
     np.testing.assert_array_equal(t0, stitched[:P, :P])
+
+
+def test_fullconv_pointwise_exact():
+    """Full-convolution banded path with a pointwise model: labels must be
+    exactly the scene's label plane for any banding (wrong halo/crop
+    geometry would shift or corrupt band edges), including a tail band
+    and partial-tile remainder pixels feeding the last band's halo."""
+    scene, lab = _scene(h=96 + 5, w=96 + 7, seed=8)
+    seg = _segmenter()
+    padded, rows, cols, halo = seg.pad_scene_fullconv(scene)
+    for band_rows in (1, 2, 4, 8):
+        out = seg.predict_scene_fullconv(scene, band_rows=band_rows)
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, lab[:96, :96])
+        # device-resident variant must match the streamed one exactly
+        dev = seg.predict_padded_fullconv(padded, rows, cols, halo,
+                                          band_rows=band_rows)
+        np.testing.assert_array_equal(np.asarray(dev), out)
+        # column-chunked batched variant: exact for a pointwise net at
+        # every legal chunking (wrong chunk offsets would shift columns)
+        for col_tiles in (1, 3):
+            chk = seg.predict_padded_fullconv(padded, rows, cols, halo,
+                                              band_rows=band_rows,
+                                              col_tiles=col_tiles)
+            np.testing.assert_array_equal(np.asarray(chk), out)
+    with pytest.raises(ValueError, match="col_tiles"):
+        seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=2)
+
+
+def test_fullconv_single_band_matches_direct_forward():
+    """One band covering the whole scene must equal a hand-built
+    halo-padded full-convolution forward of a REAL conv net (pins the
+    pad/crop geometry against an independent computation)."""
+    from cvcs_tpu.models import build_model
+
+    p, halo = 32, 8
+    # non-square (64x96 -> padded 80x112, both /16): pins the per-dim
+    # center_crop generalization in the UNet decoder (square-only crop
+    # broke every non-square fullconv band)
+    h, w = 2 * p, 3 * p
+    rng = np.random.default_rng(9)
+    scene = rng.integers(0, 256, (h, w, 3), np.uint8)
+    model, spec = build_model("Unetv2", NUM_CLASSES, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, p, p, 3), jnp.float32), train=False)
+    cfg = InferenceConfig(patch_size=p, border_correction=p + 2 * halo,
+                          batch_tiles=2, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(model.apply, variables, cfg,
+                         returns_logits=spec.returns_logits)
+    got = seg.predict_scene_fullconv(scene, band_rows=h // p, halo=halo)
+    assert got.shape == (h, w)
+    padded, rows, cols, fh = seg.pad_scene_fullconv(scene, halo=halo)
+    dev = seg.predict_padded_fullconv(padded, rows, cols, fh,
+                                      band_rows=h // p)
+    np.testing.assert_array_equal(np.asarray(dev), got)
+    # one chunk spanning the whole band IS the full-band forward — must be
+    # bit-identical for the real conv net too
+    chk = seg.predict_padded_fullconv(padded, rows, cols, fh,
+                                      band_rows=h // p, col_tiles=cols)
+    np.testing.assert_array_equal(np.asarray(chk), got)
+
+    padded = np.pad(scene, ((halo, halo), (halo, halo), (0, 0)))
+    logits = model.apply(variables, jnp.asarray(padded, jnp.float32)[None],
+                         train=False)
+    want = np.asarray(jnp.argmax(logits, axis=-1))[0][halo:-halo,
+                                                      halo:-halo]
+    np.testing.assert_array_equal(got, want.astype(np.uint8))

@@ -24,6 +24,12 @@ PATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 224
 BC = int(sys.argv[4]) if len(sys.argv) > 4 else 256
 BT = int(sys.argv[5]) if len(sys.argv) > 5 else 64   # production default
 MODEL = os.environ.get("MODEL", "Unetv2")
+# MODE=fullconv benches the seamless banded full-convolution path
+# (env FC_BANDS=8 tile-rows per band) instead of the window path
+MODE = os.environ.get("MODE", "windows")
+FC_BANDS = int(os.environ.get("FC_BANDS", "8"))
+# FC_COLS=k batches each band as k-tile-wide column chunks (0 = full band)
+FC_COLS = int(os.environ.get("FC_COLS", "0")) or None
 
 
 def device_mem() -> dict:
@@ -56,6 +62,50 @@ def main():
     n_tiles = rows * cols
     print(f"{MODEL}: scene {H}x{W} -> {rows}x{cols} = {n_tiles} tiles "
           f"@p{PATCH}/bc{BC}, batch_tiles {BT}", flush=True)
+
+    if MODE == "fullconv":
+        # same protocol as the window leg below: scene device-resident,
+        # marginal-rate over chained reps, labels stay on device (the
+        # export download is the window leg's separately-measured 2.7 s)
+        t_up = time.time()
+        padded, prows, pcols, halo = seg.pad_scene_fullconv(scene)
+        jax.device_get(jnp.sum(padded[0, 0]))
+        print(f"upload+pad: {time.time() - t_up:.1f}s", flush=True)
+
+        def run():
+            return seg.predict_padded_fullconv(padded, prows, pcols, halo,
+                                               band_rows=FC_BANDS,
+                                               col_tiles=FC_COLS)
+
+        t0 = time.time()
+        lab = run()
+        jax.device_get(jnp.sum(lab))
+        print(f"first (compile+run): {time.time() - t0:.1f}s  "
+              f"mem: {device_mem()}", flush=True)
+
+        def timed(n):
+            t0 = time.time()
+            out = None
+            for _ in range(n):
+                out = jnp.sum(run())
+            jax.device_get(out)
+            return time.time() - t0
+
+        t1 = timed(1)
+        reps = 3
+        tn = timed(1 + reps)
+        t_each = (tn - t1) / reps
+        sustained = n_tiles / t_each
+        t512 = sustained / (512 * 512 / PATCH / PATCH)
+        mem = device_mem()
+        peak_gb = (mem.get("peak_bytes_in_use") or 0) / 2**30
+        print(f"RESULT {MODEL} fullconv {H}x{W} p{PATCH} halo{halo} "
+              f"bands{FC_BANDS} cols{FC_COLS}: sustained "
+              f"{sustained:.1f} tiles/s "
+              f"({t512:.1f} tiles512/s), one-scene wall {t_each:.2f}s, "
+              f"peak HBM {peak_gb:.2f} GiB", flush=True)
+        assert lab.shape == (rows * PATCH, cols * PATCH), lab.shape
+        return
 
     t_up = time.time()
     scene_pad, prows, pcols = seg.pad_scene(scene)
