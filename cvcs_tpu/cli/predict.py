@@ -107,10 +107,20 @@ def predict(config: dict) -> None:
         elif config.get("fullconv_bands"):
             # opt-in seamless full-convolution mode (beyond-reference):
             # bands of N tile-rows forward as whole convolutions — no
-            # window overlap compute, no tile seams inside a band
+            # window overlap compute, no tile seams inside a band.
+            # fullconv_chunks: [r, k] batches each band as r x k-tile
+            # blocks (faster conv shapes, seams only at block borders)
             raw = dataset.load_image(s)
-            labels = seg.predict_scene_fullconv(
-                raw, band_rows=int(config["fullconv_bands"]))
+            chunks = config.get("fullconv_chunks")
+            if chunks:
+                padded, rr, cc, halo = seg.pad_scene_fullconv(raw)
+                labels = seg.predict_padded_fullconv(
+                    padded, rr, cc, halo,
+                    band_rows=int(config["fullconv_bands"]),
+                    row_tiles=int(chunks[0]), col_tiles=int(chunks[1]))
+            else:
+                labels = seg.predict_scene_fullconv(
+                    raw, band_rows=int(config["fullconv_bands"]))
         elif config.get("stream_rows"):
             # band-pipelined: only stream_rows tile-rows (+ halo) of
             # imagery are device-resident at a time (giant rasters)

@@ -37,7 +37,7 @@ INFER_KEYS = {
     "range", "mask_only", "out_image", "num_classes", "device", "output",
     "precision", "bug_parity", "batch_tiles", "load_context", "verbose",
     "mesh", "tta", "in_channels", "stream_rows", "ensemble_config",
-    "fullconv_bands",
+    "fullconv_bands", "fullconv_chunks",
 }
 
 

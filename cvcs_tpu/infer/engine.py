@@ -110,8 +110,8 @@ class SceneSegmenter:
             static_argnames=("band_h", "out_h", "out_w", "halo"))
         self._fullconv_band_chunked_jit = jax.jit(
             self._fullconv_band_chunked,
-            static_argnames=("band_h", "chunk_w", "n_chunks", "out_h",
-                             "chunk_out_w", "halo"))
+            static_argnames=("chunk_h", "chunk_w", "n_rows", "n_cols",
+                             "chunk_out_h", "chunk_out_w", "halo"))
         self._sharded_cache = {}   # (mesh id, geometry) -> jitted shard_map
 
     # -- geometry ------------------------------------------------------------
@@ -495,40 +495,48 @@ class SceneSegmenter:
             out.astype(jnp.uint8), (0, halo, halo), (1, out_h, out_w))
         return lab[0]
 
-    def _fullconv_band_chunked(self, variables, padded, r0, band_h: int,
-                               chunk_w: int, n_chunks: int, out_h: int,
-                               chunk_out_w: int, halo: int):
-        """Split one band into a BATCH of halo-overlapped column chunks and
-        forward them together: batched squarer tensors lower to faster conv
-        shapes on the MXU than one batch-1 full-width band (measured 26.0 →
-        16.8 ns/px at 32x704x928 vs 1x1376x7232, `tools/fc_shape_probe.py`),
-        at the cost of seams every ``chunk_out_w`` columns (each healed with
-        ``halo`` px of real context, like the window path's borders)."""
-        chunks = [
+    def _fullconv_band_chunked(self, variables, padded, r0, chunk_h: int,
+                               chunk_w: int, n_rows: int, n_cols: int,
+                               chunk_out_h: int, chunk_out_w: int,
+                               halo: int):
+        """Split a super-band into a BATCH of halo-overlapped blocks (an
+        ``n_rows x n_cols`` grid) and forward them together: batched squarer
+        tensors lower to faster conv shapes on the MXU than one batch-1
+        full-width band (measured 26.0 → 16.8 ns/px at 32x704x928 vs
+        1x1376x7232, `tools/fc_shape_probe.py`), at the cost of seams every
+        ``chunk_out_h``/``chunk_out_w`` pixels (each healed with ``halo`` px
+        of real context, like the window path's borders)."""
+        blocks = [
             lax.dynamic_slice(
-                padded, (r0, i * chunk_out_w, 0),
-                (band_h, chunk_w, padded.shape[2]))
-            for i in range(n_chunks)]
-        x = jnp.stack(chunks).astype(jnp.float32)
+                padded, (r0 + i * chunk_out_h, j * chunk_out_w, 0),
+                (chunk_h, chunk_w, padded.shape[2]))
+            for i in range(n_rows) for j in range(n_cols)]
+        x = jnp.stack(blocks).astype(jnp.float32)
         out = self.apply_fn(variables, x, context=None, train=False)
         if self.returns_logits:
             out = jnp.argmax(out, axis=-1)
         labs = lax.dynamic_slice(
             out.astype(jnp.uint8), (0, halo, halo),
-            (n_chunks, out_h, chunk_out_w))
-        return labs.transpose(1, 0, 2).reshape(out_h, n_chunks * chunk_out_w)
+            (n_rows * n_cols, chunk_out_h, chunk_out_w))
+        return (labs.reshape(n_rows, n_cols, chunk_out_h, chunk_out_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_rows * chunk_out_h, n_cols * chunk_out_w))
 
     def predict_padded_fullconv(self, padded, rows: int, cols: int,
                                 halo: int, band_rows: int = 8,
-                                col_tiles: int | None = None):
+                                col_tiles: int | None = None,
+                                row_tiles: int | None = None):
         """Device-resident full-convolution inference over a scene padded by
         :meth:`pad_scene_fullconv`: no host round-trips between bands —
         returns the stitched (rows*p, cols*p) uint8 label map ON DEVICE
         (export with :meth:`export_map` / ``np.asarray``). Same label
         semantics as :meth:`predict_scene_fullconv` when ``col_tiles`` is
-        None; with ``col_tiles=k`` each band runs as a batch of k-tile-wide
-        column chunks (must divide ``cols``) — faster conv shapes, seams
-        every ``k*p`` columns instead of none."""
+        None; with ``col_tiles=k`` each band of ``band_rows`` tile-rows runs
+        as a batch of halo-overlapped blocks k tiles wide and ``row_tiles``
+        (default ``band_rows``) tiles tall — faster conv shapes, seams every
+        block instead of none. ``col_tiles`` must divide ``cols``; bands not
+        divisible by ``row_tiles`` (the tail) fall back to band-tall
+        blocks."""
         p = self.cfg.patch_size
         w = cols * p
         bands = []
@@ -543,10 +551,13 @@ class SceneSegmenter:
                     self.variables, padded, r0 * p, br * p + 2 * halo,
                     br * p, w, halo))
             else:
+                rt = row_tiles or br
+                if br % rt:
+                    rt = br
                 bands.append(self._fullconv_band_chunked_jit(
-                    self.variables, padded, r0 * p, br * p + 2 * halo,
-                    col_tiles * p + 2 * halo, cols // col_tiles,
-                    br * p, col_tiles * p, halo))
+                    self.variables, padded, r0 * p, rt * p + 2 * halo,
+                    col_tiles * p + 2 * halo, br // rt,
+                    cols // col_tiles, rt * p, col_tiles * p, halo))
         return jnp.concatenate(bands, axis=0)
 
     # -- multi-device spatially-sharded path -----------------------------------

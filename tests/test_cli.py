@@ -221,6 +221,15 @@ def test_predict_cli_fullconv(trained_ckpt, gid15_root, tmp_path):
     assert stitched.shape == (grid.rows * PATCH, grid.cols * PATCH, 3)
     assert len(list(out_dir.glob("*.png"))) == tpi
 
+    # chunked block-grid variant drives the same surface (incl. a tail
+    # band not divisible by row_tiles)
+    cfg.update(out_image=str(tmp_path / "map_fc2.png"),
+               output=str(tmp_path / "o_fc2"),
+               fullconv_bands=2, fullconv_chunks=[2, 3])
+    predict_cli.predict(cfg)
+    stitched2 = np.asarray(Image.open(tmp_path / "map_fc2.png"))
+    assert stitched2.shape == stitched.shape
+
 
 def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     from PIL import Image

@@ -153,6 +153,12 @@ def test_fullconv_pointwise_exact():
                                               band_rows=band_rows,
                                               col_tiles=col_tiles)
             np.testing.assert_array_equal(np.asarray(chk), out)
+        # 2-D block grid (row_tiles < band), incl. a tail band that does
+        # not divide row_tiles (falls back to band-tall blocks)
+        grid2 = seg.predict_padded_fullconv(padded, rows, cols, halo,
+                                            band_rows=band_rows,
+                                            col_tiles=1, row_tiles=2)
+        np.testing.assert_array_equal(np.asarray(grid2), out)
     with pytest.raises(ValueError, match="col_tiles"):
         seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=2)
 

@@ -28,8 +28,10 @@ MODEL = os.environ.get("MODEL", "Unetv2")
 # (env FC_BANDS=8 tile-rows per band) instead of the window path
 MODE = os.environ.get("MODE", "windows")
 FC_BANDS = int(os.environ.get("FC_BANDS", "8"))
-# FC_COLS=k batches each band as k-tile-wide column chunks (0 = full band)
+# FC_COLS=k batches each band as k-tile-wide column chunks (0 = full band);
+# FC_ROWS=r makes the chunks r tile-rows tall (default: band-tall)
 FC_COLS = int(os.environ.get("FC_COLS", "0")) or None
+FC_ROWS = int(os.environ.get("FC_ROWS", "0")) or None
 
 
 def device_mem() -> dict:
@@ -75,7 +77,8 @@ def main():
         def run():
             return seg.predict_padded_fullconv(padded, prows, pcols, halo,
                                                band_rows=FC_BANDS,
-                                               col_tiles=FC_COLS)
+                                               col_tiles=FC_COLS,
+                                               row_tiles=FC_ROWS)
 
         t0 = time.time()
         lab = run()
@@ -100,7 +103,7 @@ def main():
         mem = device_mem()
         peak_gb = (mem.get("peak_bytes_in_use") or 0) / 2**30
         print(f"RESULT {MODEL} fullconv {H}x{W} p{PATCH} halo{halo} "
-              f"bands{FC_BANDS} cols{FC_COLS}: sustained "
+              f"bands{FC_BANDS} cols{FC_COLS} rows{FC_ROWS}: sustained "
               f"{sustained:.1f} tiles/s "
               f"({t512:.1f} tiles512/s), one-scene wall {t_each:.2f}s, "
               f"peak HBM {peak_gb:.2f} GiB", flush=True)
