@@ -202,3 +202,34 @@ def test_fullconv_single_band_matches_direct_forward():
     want = np.asarray(jnp.argmax(logits, axis=-1))[0][halo:-halo,
                                                       halo:-halo]
     np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+@pytest.mark.parametrize("name", ["Resnet101", "SegformerMod"])
+def test_fullconv_zoo(name):
+    """The full-convolution path is not UNet-specific: every
+    fully-convolutional zoo member (DeepLab resizes logits to input size,
+    SegFormer's MiT handles arbitrary /32 token grids) must run a
+    non-square banded scene and match its own direct halo-padded forward."""
+    from cvcs_tpu.models import build_model
+
+    p, halo = 32, 16   # bands (2*32+32, 3*32+32) = 96x128, /32 for both
+    h, w = 2 * p, 3 * p
+    rng = np.random.default_rng(11)
+    scene = rng.integers(0, 256, (h, w, 3), np.uint8)
+    model, spec = build_model(name, NUM_CLASSES, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(1)},
+        jnp.zeros((1, p, p, 3), jnp.float32), train=False)
+    cfg = InferenceConfig(patch_size=p, border_correction=p + 2 * halo,
+                          batch_tiles=2, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(model.apply, variables, cfg,
+                         returns_logits=spec.returns_logits)
+    got = seg.predict_scene_fullconv(scene, band_rows=h // p, halo=halo)
+    assert got.shape == (h, w) and got.dtype == np.uint8
+
+    padded = np.pad(scene, ((halo, halo), (halo, halo), (0, 0)))
+    logits = model.apply(variables, jnp.asarray(padded, jnp.float32)[None],
+                         train=False)
+    want = np.asarray(jnp.argmax(logits, axis=-1))[0][halo:-halo,
+                                                      halo:-halo]
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
