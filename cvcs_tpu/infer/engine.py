@@ -560,6 +560,75 @@ class SceneSegmenter:
                     cols // col_tiles, rt * p, col_tiles * p, halo))
         return jnp.concatenate(bands, axis=0)
 
+    def predict_scene_fullconv_sharded(self, scene, mesh,
+                                       col_tiles: int | None = None,
+                                       row_tiles: int | None = None
+                                       ) -> jnp.ndarray:
+        """Spatially-sharded full-convolution inference: each device takes a
+        strip of ``rows/n`` tile-rows, receives ``halo`` rows of real context
+        from its neighbors via :func:`exchange_row_halo` (one ppermute pair
+        over ICI), and forwards its strip as one convolution (or a
+        ``row_tiles x col_tiles`` block grid). Bit-identical to
+        :meth:`predict_padded_fullconv` with ``band_rows = rows/n`` (and the
+        same chunking) on a tile-grid-aligned scene — the band boundary at a
+        device edge sees exactly the neighbor context the single-device band
+        sees. Scene edges use zero context (like
+        :meth:`predict_scene_sharded`; the device-resident single-chip path
+        fills bottom/right halos with real raster pixels where present —
+        crop the scene to the tile grid for exact cross-path equality).
+
+        The tile-row count must divide the mesh's ``spatial`` axis size.
+        Returns the stitched (rows*p, cols*p) uint8 map, row-sharded.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        halo = (bc - p) // 2
+        n_sp = mesh.shape[SPATIAL_AXIS]
+        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        rows, cols = grid.rows, grid.cols
+        h, w = rows * p, cols * p
+        if rows % n_sp:
+            raise ValueError(
+                f"{rows} tile rows do not shard over {n_sp} devices")
+        rows_local = rows // n_sp
+        if col_tiles is not None and cols % col_tiles:
+            raise ValueError(
+                f"col_tiles={col_tiles} must divide the scene's "
+                f"{cols} tile columns")
+        rt = row_tiles or rows_local
+        if rows_local % rt:
+            raise ValueError(
+                f"row_tiles={row_tiles} must divide the per-device "
+                f"{rows_local} tile rows")
+        scene = jnp.asarray(scene)[:h, :w]
+        scene_pad_cols = jnp.pad(scene, ((0, 0), (halo, halo), (0, 0)))
+
+        key = (mesh, "fullconv", rows_local, cols, halo, col_tiles, rt)
+        fn_jit = self._sharded_cache.get(key)
+        if fn_jit is None:
+            def body(variables, strip):
+                # strip: (rows_local*p, w + 2*halo, C) local tile-rows
+                ext = exchange_row_halo(strip, halo, SPATIAL_AXIS)
+                if col_tiles is None:
+                    return self._fullconv_band(
+                        variables, ext, 0, rows_local * p + 2 * halo,
+                        rows_local * p, w, halo)
+                return self._fullconv_band_chunked(
+                    variables, ext, 0, rt * p + 2 * halo,
+                    col_tiles * p + 2 * halo, rows_local // rt,
+                    cols // col_tiles, rt * p, col_tiles * p, halo)
+
+            fn_jit = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(SPATIAL_AXIS, None, None)),
+                out_specs=P(SPATIAL_AXIS, None), check_rep=False))
+            self._sharded_cache[key] = fn_jit
+        x = jax.device_put(
+            scene_pad_cols, NamedSharding(mesh, P(SPATIAL_AXIS, None, None)))
+        variables = jax.device_put(
+            self.variables, NamedSharding(mesh, P()))
+        return fn_jit(variables, x)
+
     # -- multi-device spatially-sharded path -----------------------------------
     def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:
         """Shard the scene's rows over the mesh's ``spatial`` axis, heal

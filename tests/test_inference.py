@@ -160,7 +160,8 @@ def test_fullconv_pointwise_exact():
                                             col_tiles=1, row_tiles=2)
         np.testing.assert_array_equal(np.asarray(grid2), out)
     with pytest.raises(ValueError, match="col_tiles"):
-        seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=2)
+        # cols = 6 tile columns at P=16 — 4 does not divide it
+        seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=4)
 
 
 def test_fullconv_single_band_matches_direct_forward():
@@ -202,6 +203,54 @@ def test_fullconv_single_band_matches_direct_forward():
     want = np.asarray(jnp.argmax(logits, axis=-1))[0][halo:-halo,
                                                       halo:-halo]
     np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_fullconv_sharded_matches_single_device():
+    """Spatially-sharded fullconv (ppermute halo exchange) must be
+    bit-identical to the single-device banded path with band_rows =
+    rows/n on a tile-grid-aligned scene, for both full-band and chunked
+    modes."""
+    scene, lab = _scene(h=128, w=96, seed=12)  # 8 tile rows over 8 devices
+    seg = _segmenter()
+    padded, rows, cols, halo = seg.pad_scene_fullconv(scene)
+    single = np.asarray(seg.predict_padded_fullconv(padded, rows, cols,
+                                                    halo, band_rows=1))
+    np.testing.assert_array_equal(single, lab)
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    sharded = np.asarray(seg.predict_scene_fullconv_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+    for col_tiles in (2, 3):
+        chunk_single = np.asarray(seg.predict_padded_fullconv(
+            padded, rows, cols, halo, band_rows=1, col_tiles=col_tiles))
+        chunk_sharded = np.asarray(seg.predict_scene_fullconv_sharded(
+            scene, mesh, col_tiles=col_tiles))
+        np.testing.assert_array_equal(chunk_sharded, chunk_single)
+
+
+def test_fullconv_sharded_real_net_matches_single_device():
+    """Same bit-equality with a REAL conv net: the halo rows arriving by
+    ppermute must be exactly the rows the single-device band slices out
+    of the padded scene."""
+    from cvcs_tpu.models import build_model
+
+    p, halo = 32, 8
+    h, w = 8 * p, 2 * p
+    rng = np.random.default_rng(13)
+    scene = rng.integers(0, 256, (h, w, 3), np.uint8)
+    model, spec = build_model("Unetv2", NUM_CLASSES, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(2)},
+        jnp.zeros((1, p, p, 3), jnp.float32), train=False)
+    cfg = InferenceConfig(patch_size=p, border_correction=p + 2 * halo,
+                          batch_tiles=2, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(model.apply, variables, cfg,
+                         returns_logits=spec.returns_logits)
+    padded, rows, cols, fh = seg.pad_scene_fullconv(scene)
+    single = np.asarray(seg.predict_padded_fullconv(padded, rows, cols,
+                                                    fh, band_rows=1))
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    sharded = np.asarray(seg.predict_scene_fullconv_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
 
 
 @pytest.mark.parametrize("name", ["Resnet101", "SegformerMod"])
