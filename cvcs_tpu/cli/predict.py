@@ -103,7 +103,17 @@ def predict(config: dict) -> None:
 
         if mesh is not None:
             raw = dataset.load_image(s)
-            labels = seg.predict_scene_sharded(raw, mesh)
+            if config.get("fullconv_bands"):
+                # fullconv + mesh: each device forwards its strip of
+                # tile-rows as one convolution (or a block grid), halo
+                # context via ppermute — not the window program
+                chunks = config.get("fullconv_chunks") or (None, None)
+                labels = seg.predict_scene_fullconv_sharded(
+                    raw, mesh,
+                    col_tiles=chunks[1] and int(chunks[1]),
+                    row_tiles=chunks[0] and int(chunks[0]))
+            else:
+                labels = seg.predict_scene_sharded(raw, mesh)
         elif config.get("fullconv_bands"):
             # opt-in seamless full-convolution mode (beyond-reference):
             # bands of N tile-rows forward as whole convolutions — no

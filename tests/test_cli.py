@@ -225,7 +225,7 @@ def test_predict_cli_fullconv(trained_ckpt, gid15_root, tmp_path):
     # band not divisible by row_tiles)
     cfg.update(out_image=str(tmp_path / "map_fc2.png"),
                output=str(tmp_path / "o_fc2"),
-               fullconv_bands=2, fullconv_chunks=[2, 3])
+               fullconv_bands=2, fullconv_chunks=[2, 2])
     predict_cli.predict(cfg)
     stitched2 = np.asarray(Image.open(tmp_path / "map_fc2.png"))
     assert stitched2.shape == stitched.shape

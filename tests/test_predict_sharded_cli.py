@@ -44,3 +44,26 @@ def test_predict_cli_spatial_mesh(tall_root, tmp_path):
     a = np.asarray(Image.open(out_single))
     b = np.asarray(Image.open(out_sharded))
     np.testing.assert_array_equal(a, b)
+
+
+def test_predict_cli_fullconv_mesh(tall_root, tmp_path):
+    """fullconv_bands + mesh routes to the ppermute-halo sharded fullconv
+    path; on a tile-grid-aligned scene it must be bit-identical to the
+    single-device fullconv CLI with band_rows = rows/n (= 1 here)."""
+    from cvcs_tpu.cli import predict as predict_cli
+
+    out_single = tmp_path / "fc_single.png"
+    out_sharded = tmp_path / "fc_sharded.png"
+    base = dict(
+        dataset=str(tall_root), net="Unet", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        mask_only=True, fullconv_bands=1,
+    )
+    predict_cli.predict(dict(base, out_image=str(out_single),
+                             output=str(tmp_path / "f1")))
+    predict_cli.predict(dict(base, out_image=str(out_sharded),
+                             output=str(tmp_path / "f2"),
+                             mesh={"data": 1, "spatial": 8}))
+    a = np.asarray(Image.open(out_single))
+    b = np.asarray(Image.open(out_sharded))
+    np.testing.assert_array_equal(a, b)
