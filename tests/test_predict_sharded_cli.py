@@ -46,6 +46,35 @@ def test_predict_cli_spatial_mesh(tall_root, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_predict_cli_ensemble_mesh(tall_root, tmp_path):
+    """`net: Ensemble` composes with `mesh`: the sharded scene program
+    takes the ensemble's member-variables pytree as its traced weights
+    and `Ensemble.apply` (vote) as the forward — bit-identical to the
+    single-device ensemble run. The reference cannot run its ensemble on
+    more than one device at all (`utils.py:499-507` votes on the CPU)."""
+    import yaml
+
+    from cvcs_tpu.cli import predict as predict_cli
+
+    members = tmp_path / "ensemble.yaml"
+    members.write_text(yaml.safe_dump({"Unet": None, "Unetv2": None}))
+    out_single = tmp_path / "ens_single.png"
+    out_sharded = tmp_path / "ens_sharded.png"
+    base = dict(
+        dataset=str(tall_root), net="Ensemble", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        ensemble_config=str(members), mask_only=True,
+    )
+    predict_cli.predict(dict(base, out_image=str(out_single),
+                             output=str(tmp_path / "e1")))
+    predict_cli.predict(dict(base, out_image=str(out_sharded),
+                             output=str(tmp_path / "e2"),
+                             mesh={"data": 1, "spatial": 8}))
+    a = np.asarray(Image.open(out_single))
+    b = np.asarray(Image.open(out_sharded))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_predict_cli_fullconv_mesh(tall_root, tmp_path):
     """fullconv_bands + mesh routes to the ppermute-halo sharded fullconv
     path; on a tile-grid-aligned scene it must be bit-identical to the
