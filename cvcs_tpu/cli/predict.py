@@ -7,7 +7,9 @@ TPU-first: each scene runs as one jitted gather/forward/stitch program; the
 stitched map is written straight from the device canvas instead of
 re-reading 960 tile PNGs (SURVEY §3.3). ``range: [lb, ub]`` selects the
 reference's global patch indices (scene = index // tiles_per_scene);
-``mesh: {spatial: N}`` shards scene rows over N devices with halo exchange.
+``mesh: {spatial: N}`` shards scene rows over N devices with halo exchange;
+adding ``data: M`` additionally runs groups of M scenes as one batched
+program (scenes over the data axis — the production pod layout).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from pathlib import Path
 
 from cvcs_tpu.cli import common
 from cvcs_tpu.config.loader import INFER_KEYS, validate_keys
+from cvcs_tpu.core.mesh import DATA_AXIS
 from cvcs_tpu.data.geometry import TileGrid
 from cvcs_tpu.data.reader import SceneDataset
 from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
@@ -70,6 +73,20 @@ def predict(config: dict) -> None:
 
     out_dir = Path(config.get("output", "output"))
 
+    # Scene-parallel grouping (pod layout): with a data axis in the mesh,
+    # full groups of n_data scenes run as ONE batched sharded program —
+    # scenes over `data`, rows over `spatial` (`predict_scenes_sharded`);
+    # remainder scenes fall through to the per-scene spatial path.
+    scene_groups: dict[int, list[int]] = {}
+    pending_group: dict[int, tuple] = {}
+    if mesh is not None and not config.get("fullconv_bands") \
+            and not config.get("stream_rows"):
+        n_data = mesh.shape[DATA_AXIS]
+        if n_data > 1:
+            full = len(scenes) - len(scenes) % n_data
+            for i in range(0, full, n_data):
+                scene_groups[scenes[i]] = scenes[i:i + n_data]
+
     def load_gt(s, h, w):
         """Index mask for 3-panel figures, when annotations exist."""
         try:
@@ -101,7 +118,15 @@ def predict(config: dict) -> None:
             print(f"Scene {s}: {len(sel)} patches -> {out_dir}", flush=True)
             continue
 
-        if mesh is not None:
+        if mesh is not None and (s in scene_groups or s in pending_group):
+            if s in scene_groups:
+                group = scene_groups[s]
+                raws = [dataset.load_image(g) for g in group]
+                stack = seg.predict_scenes_sharded(raws, mesh)
+                for j, g in enumerate(group):
+                    pending_group[g] = (stack[j], raws[j])
+            labels, raw = pending_group.pop(s)
+        elif mesh is not None:
             raw = dataset.load_image(s)
             if config.get("fullconv_bands"):
                 # fullconv + mesh: each device forwards its strip of

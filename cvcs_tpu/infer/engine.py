@@ -37,7 +37,7 @@ from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cvcs_tpu.core.mesh import SPATIAL_AXIS
+from cvcs_tpu.core.mesh import DATA_AXIS, SPATIAL_AXIS
 from cvcs_tpu.data.geometry import TileGrid
 from cvcs_tpu.data.palette import GID15Palette
 from cvcs_tpu.parallel.halo import exchange_row_halo
@@ -676,6 +676,63 @@ class SceneSegmenter:
             scene_pad_cols, NamedSharding(mesh, spec_in))
         variables = jax.device_put(
             self.variables, NamedSharding(mesh, P()))
+        return fn_jit(variables, x)
+
+    def predict_scenes_sharded(self, scenes, mesh) -> jnp.ndarray:
+        """Scene-parallel batched inference — the production pod layout:
+        the scene stack shards over the mesh's ``data`` axis (independent
+        scenes, zero communication on that axis) while each scene's rows
+        shard over the ``spatial`` axis with ppermute halo exchange.
+        Bit-identical to :meth:`predict_scene` run per scene.
+
+        The scene count must divide by the data axis size and the scenes'
+        tile-row count by the spatial axis size; scenes must share one
+        shape (the reference's GID15 scenes all do, `dataset.py:63-64`).
+        Returns (S, H', W') int32 labels sharded over both axes.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        n_dp = mesh.shape[DATA_AXIS]
+        n_sp = mesh.shape[SPATIAL_AXIS]
+        stack = np.stack([np.asarray(s) for s in scenes]) \
+            if isinstance(scenes, (list, tuple)) else np.asarray(scenes)
+        if stack.shape[0] % n_dp:
+            raise ValueError(
+                f"{stack.shape[0]} scenes do not shard over the data "
+                f"axis ({n_dp} devices)")
+        grid = TileGrid((stack.shape[1], stack.shape[2]), p)
+        if grid.rows % n_sp:
+            raise ValueError(
+                f"{grid.rows} tile rows do not shard over the spatial "
+                f"axis ({n_sp} devices)")
+        h, w = grid.rows * p, grid.cols * p
+        stack = jnp.asarray(stack[:, :h, :w])
+        # pad columns only; rows are extended via halo exchange (edge
+        # devices receive ppermute zeros = the single-device zero padding)
+        stack_pad_cols = jnp.pad(
+            stack, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+        rows_local = grid.rows // n_sp
+
+        spec_in = P(DATA_AXIS, SPATIAL_AXIS, None, None)
+        spec_out = P(DATA_AXIS, SPATIAL_AXIS, None)
+        key = (mesh, "scenes", stack.shape[0] // n_dp, rows_local,
+               grid.cols, pad)
+        fn_jit = self._sharded_cache.get(key)
+        if fn_jit is None:
+            def body(variables, local):
+                # local: (S/n_dp, h/n_sp, w + 2*pad, C)
+                ext = exchange_row_halo(local, pad, SPATIAL_AXIS, axis=1)
+                return jax.vmap(
+                    lambda sc: self._run_scene(
+                        variables, sc, rows_local, grid.cols))(ext)
+
+            fn_jit = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(P(), spec_in),
+                out_specs=spec_out, check_rep=False))
+            self._sharded_cache[key] = fn_jit
+        x = jax.device_put(stack_pad_cols, NamedSharding(mesh, spec_in))
+        variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
         return fn_jit(variables, x)
 
     # -- exports ----------------------------------------------------------------

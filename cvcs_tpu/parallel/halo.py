@@ -20,22 +20,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def exchange_row_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+def exchange_row_halo(x: jnp.ndarray, halo: int, axis_name: str,
+                      axis: int = 0) -> jnp.ndarray:
     """Extend a local row-strip with ``halo`` rows from each neighbor.
 
-    ``x``: (H_local, W, ...) block inside a shard_map over ``axis_name``.
-    Returns (H_local + 2*halo, W, ...): [prev's bottom rows | x | next's top
-    rows], zeros at the mesh edges.
+    ``x``: a block inside a shard_map over ``axis_name`` whose dimension
+    ``axis`` holds the sharded rows (default 0: (H_local, W, ...); a
+    batched scene stack passes ``axis=1`` for (S_local, H_local, W, ...)).
+    Returns x extended to H_local + 2*halo along ``axis``: [prev's bottom
+    rows | x | next's top rows], zeros at the mesh edges.
     """
     n = lax.axis_size(axis_name)
     if n == 1 or halo == 0:
-        pad = [(halo, halo)] + [(0, 0)] * (x.ndim - 1)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (halo, halo)
         return jnp.pad(x, pad)
     down = [(i, i + 1) for i in range(n - 1)]   # device i sends to i+1
     up = [(i + 1, i) for i in range(n - 1)]     # device i+1 sends to i
-    from_prev = lax.ppermute(x[-halo:], axis_name, down)  # prev's bottom rows
-    from_next = lax.ppermute(x[:halo], axis_name, up)     # next's top rows
-    return jnp.concatenate([from_prev, x, from_next], axis=0)
+    h = x.shape[axis]
+    bottom = lax.slice_in_dim(x, h - halo, h, axis=axis)
+    top = lax.slice_in_dim(x, 0, halo, axis=axis)
+    from_prev = lax.ppermute(bottom, axis_name, down)  # prev's bottom rows
+    from_next = lax.ppermute(top, axis_name, up)       # next's top rows
+    return jnp.concatenate([from_prev, x, from_next], axis=axis)
 
 
 def sharded_rows(total_rows: int, axis_size: int) -> int:

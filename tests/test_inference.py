@@ -112,6 +112,45 @@ def test_sharded_bug_parity_matches_single_device():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_scenes_sharded_matches_single_device():
+    """Scene-parallel inference (the pod layout: scenes over the data
+    axis x rows over the spatial axis) must be bit-identical to
+    per-scene single-device runs for every factorization of the mesh."""
+    scenes, labs = zip(*[_scene(h=128, w=48, seed=20 + i) for i in range(8)])
+    seg = _segmenter()
+    single = np.stack([np.asarray(seg.predict_scene(s)) for s in scenes])
+    np.testing.assert_array_equal(single, np.stack(labs))
+    for data in (1, 2, 4, 8):
+        mesh = create_mesh(MeshConfig(data=data, spatial=8 // data))
+        out = np.asarray(seg.predict_scenes_sharded(list(scenes), mesh))
+        np.testing.assert_array_equal(out, single,
+                                      err_msg=f"data={data}")
+
+
+def test_scenes_sharded_real_net_matches_single_device():
+    """Same bit-equality with a REAL conv net: each scene's strip rows
+    arrive by ppermute within its data-axis subgroup only — no
+    cross-scene leakage."""
+    from cvcs_tpu.models import build_model
+
+    p = 32
+    h, w = 4 * p, 2 * p
+    rng = np.random.default_rng(21)
+    scenes = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(2)]
+    model, spec = build_model("Unetv2", NUM_CLASSES, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(3)},
+        jnp.zeros((1, p, p, 3), jnp.float32), train=False)
+    cfg = InferenceConfig(patch_size=p, border_correction=p + 16,
+                          batch_tiles=2, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(model.apply, variables, cfg,
+                         returns_logits=spec.returns_logits)
+    single = np.stack([np.asarray(seg.predict_scene(s)) for s in scenes])
+    mesh = create_mesh(MeshConfig(data=2, spatial=4))
+    out = np.asarray(seg.predict_scenes_sharded(scenes, mesh))
+    np.testing.assert_array_equal(out, single)
+
+
 def test_exports(tmp_path):
     from PIL import Image
 

@@ -46,6 +46,55 @@ def test_predict_cli_spatial_mesh(tall_root, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.fixture(scope="module")
+def multi_root(tmp_path_factory):
+    """Four 2x2-tile scenes for data-axis scene grouping."""
+    root = tmp_path_factory.mktemp("gid_multi")
+    for d in ("Image__8bit_NirRGB", "Annotation__index", "Annotation__color"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        mask = np.kron(rng.integers(0, 16, (8, 8), dtype=np.uint8),
+                       np.ones((8, 8), np.uint8))      # 64 x 64 = 2 x 2 tiles
+        img = np.repeat(mask[..., None], 3, axis=-1)
+        Image.fromarray(img).save(root / "Image__8bit_NirRGB" / f"s{i}.png")
+        Image.fromarray(mask).save(
+            root / "Annotation__index" / f"s{i}_15label.png")
+        Image.fromarray(PALETTE[mask]).save(
+            root / "Annotation__color" / f"s{i}_15label.tif")
+    return root
+
+
+def test_predict_cli_scene_parallel_mesh(multi_root, tmp_path):
+    """`mesh: {data: 4, spatial: 2}` groups scenes into one batched
+    sharded program (scenes over data, rows over spatial); every per-scene
+    stitched map and patch PNG must be bit-identical to the meshless run."""
+    from cvcs_tpu.cli import predict as predict_cli
+
+    base = dict(
+        dataset=str(multi_root), net="Unet", patch_size=PATCH,
+        border_correction=PATCH + 16, num_classes=15, precision="f32",
+        mask_only=True,
+    )
+    predict_cli.predict(dict(base, out_image=str(tmp_path / "m1.png"),
+                             output=str(tmp_path / "g1")))
+    predict_cli.predict(dict(base, out_image=str(tmp_path / "m2.png"),
+                             output=str(tmp_path / "g2"),
+                             mesh={"data": 4, "spatial": 2}))
+    tiles1 = sorted((tmp_path / "g1").glob("*.png"))
+    tiles2 = sorted((tmp_path / "g2").glob("*.png"))
+    assert [t.name for t in tiles1] == [t.name for t in tiles2]
+    assert len(tiles1) == 4 * 4   # 4 scenes x 2x2 tiles
+    for a, b in zip(tiles1, tiles2):
+        np.testing.assert_array_equal(np.asarray(Image.open(a)),
+                                      np.asarray(Image.open(b)),
+                                      err_msg=a.name)
+    for i in range(4):
+        a = np.asarray(Image.open(tmp_path / f"m1_{i}.png"))
+        b = np.asarray(Image.open(tmp_path / f"m2_{i}.png"))
+        np.testing.assert_array_equal(a, b, err_msg=f"scene {i}")
+
+
 def test_predict_cli_ensemble_mesh(tall_root, tmp_path):
     """`net: Ensemble` composes with `mesh`: the sharded scene program
     takes the ensemble's member-variables pytree as its traced weights
