@@ -188,9 +188,22 @@ class Trainer:
             pending_losses = None
 
             def harvest(losses):
-                for v in jax.device_get(losses):
-                    self.training_loss_values += [
-                        float(x) for x in np.asarray(v).reshape(-1)]
+                flat = np.concatenate([np.asarray(v).reshape(-1)
+                                       for v in jax.device_get(losses)])
+                self.training_loss_values += [float(x) for x in flat]
+                if not np.isfinite(flat).all():
+                    # failure detection (SURVEY §5): a NaN/inf loss means
+                    # the optimizer state is already poisoned — halt
+                    # instead of burning the rest of the schedule. The
+                    # deferred harvest surfaces it one chunk late; the
+                    # last on-disk checkpoint predates the divergence.
+                    i = int(np.argmax(~np.isfinite(flat)))
+                    step = len(self.training_loss_values) - len(flat) + i
+                    raise FloatingPointError(
+                        f"non-finite training loss ({flat[i]}) at epoch "
+                        f"{epoch + 1}, global step {step + 1} — training "
+                        "diverged (check lr/loss config); resume from the "
+                        "last checkpoint with a safer schedule")
 
             for c in range(len(self.train_loader)):
                 chunk = self.train_loader.get_chunk(c, cfg.random_tps)

@@ -129,6 +129,17 @@ def test_end_to_end_smoke_train(smoke_setup, tmp_path):
     assert (tmp_path / "checkpoint2").is_dir()
 
 
+def test_divergence_detection(smoke_setup, tmp_path):
+    """A non-finite training loss halts the run with a clear error
+    instead of burning the rest of the schedule (SURVEY §5 failure
+    detection); the deferred loss harvest still surfaces it."""
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=1, eval_freq=5)
+    trainer.state = trainer.state.replace(params=jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, jnp.nan), trainer.state.params))
+    with pytest.raises(FloatingPointError, match="non-finite training loss"):
+        trainer.train()
+
+
 def test_checkpoint_resume_roundtrip(smoke_setup, tmp_path):
     t1 = _build_trainer(smoke_setup, tmp_path / "a", epochs=1, eval_freq=5)
     (tmp_path / "a").mkdir(exist_ok=True)
