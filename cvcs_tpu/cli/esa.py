@@ -6,8 +6,10 @@ ground truth, no border correction, stitched color output.
 Config keys: ``image`` (path to any RGB raster), ``net``,
 ``load_checkpoint``, ``patch_size`` (default 512 like the reference),
 ``out_image`` (default ``output_esa.png``), optional ``output`` dir for
-per-patch PNGs and ``border_correction`` (the reference lacks it; here it
-is available cross-domain too)."""
+per-patch PNGs, ``border_correction`` (the reference lacks it; here it
+is available cross-domain too) and ``mesh`` (same semantics as the
+predict CLI: rows strip over ``spatial``, same-shape raster groups batch
+over ``data``)."""
 
 from __future__ import annotations
 
@@ -16,6 +18,7 @@ import sys
 import numpy as np
 
 from cvcs_tpu.cli import common
+from cvcs_tpu.core.mesh import DATA_AXIS
 from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 
 
@@ -50,13 +53,26 @@ def run(config: dict) -> None:
         stem = Path(out_image)
         return str(stem.with_name(f"{stem.stem}_{i}{stem.suffix}"))
 
+    mesh = common.mesh_from_config(config)
+
+    def one(r):
+        return (seg.predict_scene_sharded(r, mesh) if mesh is not None
+                else seg.predict_scene(r))
+
     if len(rasters) > 1 and len({r.shape for r in rasters}) == 1:
         # same-shape batch: one jitted program for all scenes (small-scene
-        # workloads like ESA amortize dispatch this way)
-        all_labels = seg.predict_scenes(rasters)
-        per_scene = list(all_labels)
+        # workloads like ESA amortize dispatch this way); with a mesh,
+        # full groups of n_data rasters run scene-parallel
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            full = len(rasters) - len(rasters) % n_data
+            per_scene = (list(seg.predict_scenes_sharded(
+                rasters[:full], mesh)) if full else [])
+            per_scene += [one(r) for r in rasters[full:]]
+        else:
+            per_scene = list(seg.predict_scenes(rasters))
     else:
-        per_scene = [seg.predict_scene(r) for r in rasters]
+        per_scene = [one(r) for r in rasters]
     for i, labels in enumerate(per_scene):
         if config.get("output"):
             out_dir = (config["output"] if len(per_scene) == 1

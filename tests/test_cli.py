@@ -248,3 +248,30 @@ def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     esa_cli.run(cfg)
     got = np.asarray(Image.open(out))
     assert got.shape == (PATCH * 2, PATCH * 3, 3)
+
+
+def test_esa_cli_mesh(trained_ckpt, tmp_path):
+    """`mesh` in an esa config: same-shape raster groups run
+    scene-parallel over the data axis (remainder through the per-raster
+    spatial path); every stitched map bit-equal to the meshless run."""
+    from PIL import Image
+
+    from cvcs_tpu.cli import esa as esa_cli
+
+    rng = np.random.default_rng(5)
+    srcs = []
+    for i in range(3):   # one full group of 2 + remainder 1
+        img = rng.integers(0, 255, (PATCH * 4, PATCH * 2, 3), np.uint8)
+        src = tmp_path / f"r{i}.png"
+        Image.fromarray(img).save(src)
+        srcs.append(str(src))
+    base = dict(image=srcs, net="Unet", patch_size=PATCH,
+                num_classes=15, precision="f32",
+                load_checkpoint=str(trained_ckpt))
+    esa_cli.run(dict(base, out_image=str(tmp_path / "a.png")))
+    esa_cli.run(dict(base, out_image=str(tmp_path / "b.png"),
+                     mesh={"data": 2, "spatial": 4}))
+    for i in range(3):
+        a = np.asarray(Image.open(tmp_path / f"a_{i}.png"))
+        b = np.asarray(Image.open(tmp_path / f"b_{i}.png"))
+        np.testing.assert_array_equal(a, b, err_msg=str(i))
