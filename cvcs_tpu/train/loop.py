@@ -150,14 +150,20 @@ class Trainer:
 
     # -- device placement ---------------------------------------------------
     def _shard(self, *arrays, batch_axis: int = 0):
-        """Shard the batch axis over the ``data`` mesh axis. For stacked
-        multi-step arrays (K, B, ...) the batch axis is 1 — the scan axis
-        K must stay unsharded."""
+        """Shard the batch axis over the ``data`` mesh axis and — when the
+        mesh has a live ``spatial`` axis — the patch-row axis over it
+        (GSPMD spatial partitioning: XLA halo-exchanges convolutions
+        automatically, so big-patch training scales past one chip's HBM;
+        conv window reductions are never split, only the BN batch-stat
+        reductions gain a psum — float-level reassociation, same class as
+        the DP gradient psum). For stacked multi-step arrays (K, B, ...)
+        the batch axis is 1 — the scan axis K must stay unsharded."""
         if self.mesh is None or np.prod(tuple(self.mesh.shape.values())) == 1:
             return arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        n_sp = self.mesh.shape.get(mesh_lib.SPATIAL_AXIS, 1)
 
         def put(a):
             if a is None:
@@ -165,6 +171,13 @@ class Trainer:
             spec = [None] * a.ndim
             if a.ndim > batch_axis and a.shape[batch_axis] % n_data == 0:
                 spec[batch_axis] = mesh_lib.DATA_AXIS
+            h_axis = batch_axis + 1
+            # image (B,H,W,C) / mask (B,H,W): rows over `spatial` when
+            # they divide; anything lower-rank (loss vectors, valid
+            # flags) stays batch-only
+            if (n_sp > 1 and a.ndim > h_axis + 1
+                    and a.shape[h_axis] % n_sp == 0):
+                spec[h_axis] = mesh_lib.SPATIAL_AXIS
             return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
 
         return tuple(put(a) for a in arrays)

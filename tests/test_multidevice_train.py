@@ -67,6 +67,77 @@ def test_dp_training_with_multistep(gid15_root, tmp_path):
     assert all(np.isfinite(v) for v in trainer.training_loss_values)
 
 
+def test_spatial_partitioned_training(gid15_root, tmp_path):
+    """A combined (data=2, spatial=4) mesh: the Trainer shards patch rows
+    over `spatial` (GSPMD spatial partitioning — XLA halo-exchanges the
+    convolutions), so big-patch training scales past one chip's HBM. The
+    run must train to finite decreasing losses with replicated params."""
+    mesh = create_mesh(MeshConfig(data=2, spatial=4))
+    loader = ChunkLoader(str(gid15_root), chunk_size=4, patch_size=PATCH,
+                         load_context=False, seed=0)
+    val = ChunkLoader(str(gid15_root), chunk_size=4, patch_size=PATCH,
+                      load_context=False, seed=1)
+    model, spec = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((8, PATCH, PATCH, 3), jnp.uint8))
+    state = replicate(state, mesh)
+    cfg = TrainConfig(epochs=2, batch_size=8,
+                      checkpoint_directory=str(tmp_path), freq=5,
+                      precision_evaluation_freq=5, num_classes=15)
+    trainer = Trainer(model, spec, state, optimizer, build_loss("CEL"),
+                      loader, val, cfg, mesh=mesh, log=lambda s: None)
+    trainer.train()
+    vals = trainer.training_loss_values
+    assert vals and all(np.isfinite(v) for v in vals)
+    assert np.mean(vals[-3:]) < np.mean(vals[:3])
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_spatial_partitioned_step_equals_single_device():
+    """One spatially-partitioned train step lands within float tolerance
+    of the single-device step. Sharding rows never splits a conv-window
+    reduction (each output pixel's window sum stays on one device); only
+    the f32 BN batch-stat reductions gain a psum, so the tolerance is
+    reassociation-level, like the DP test above."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvcs_tpu.core.mesh import DATA_AXIS, SPATIAL_AXIS
+    from cvcs_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (4, PATCH, PATCH, 3), np.uint8)
+    msk = rng.integers(0, 16, (4, PATCH, PATCH)).astype(np.int32)
+
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+
+    def run(mesh):
+        state = create_train_state(
+            model, optimizer, jnp.zeros((4, PATCH, PATCH, 3), jnp.uint8))
+        step = make_train_step(build_loss("CEL"))
+        if mesh is None:
+            x, m = jnp.asarray(img), jnp.asarray(msk)
+        else:
+            state = replicate(state, mesh)
+            x = jax.device_put(img, NamedSharding(
+                mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None)))
+            m = jax.device_put(msk, NamedSharding(
+                mesh, P(DATA_AXIS, SPATIAL_AXIS)))
+        state, loss = step(state, x, m, jnp.zeros((), jnp.uint8),
+                           jnp.float32(6e-3), jax.random.key(0))
+        return state, float(loss)
+
+    s1, l1 = run(None)
+    s8, l8 = run(create_mesh(MeshConfig(data=2, spatial=4)))
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_dp_step_equals_single_device_step():
     """The sharded analogue of tests/test_inference.py's bit-exactness
     check, for training: one train step with the batch sharded over 8
