@@ -131,11 +131,16 @@ def test_evaluate_cli_mesh_sharded(trained_ckpt, gid15_root):
         load_checkpoint=str(trained_ckpt), images=[0, 1],
     )
     single = eval_cli.evaluate(dict(base))
-    sharded = eval_cli.evaluate(dict(base, mesh={"data": 8}))
-    assert single.keys() == sharded.keys()
-    for k in single:
-        np.testing.assert_array_equal(np.asarray(single[k]),
-                                      np.asarray(sharded[k]), err_msg=k)
+    # combined mesh: batches over `data` AND patch rows over `spatial`
+    # (eval-mode forwards are bit-exact under row sharding — conv-window
+    # reductions are never split and BN uses running stats)
+    for mesh in ({"data": 8}, {"data": 4, "spatial": 2}):
+        sharded = eval_cli.evaluate(dict(base, mesh=mesh))
+        assert single.keys() == sharded.keys()
+        for k in single:
+            np.testing.assert_array_equal(np.asarray(single[k]),
+                                          np.asarray(sharded[k]),
+                                          err_msg=f"{mesh} {k}")
 
 
 def test_predict_cli_ensemble(trained_ckpt, gid15_root, tmp_path):
