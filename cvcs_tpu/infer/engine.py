@@ -651,8 +651,29 @@ class SceneSegmenter:
         scene_pad_cols = jnp.pad(scene, ((0, 0), (pad, pad), (0, 0)))
         rows_local = grid.rows // n_sp
 
-        spec_in = P(SPATIAL_AXIS, None, None)
-        spec_out = P(SPATIAL_AXIS, None)
+        fn_jit = self.sharded_scene_program(mesh, grid.rows, grid.cols)
+        x = jax.device_put(
+            scene_pad_cols, NamedSharding(mesh, P(SPATIAL_AXIS, None, None)))
+        variables = jax.device_put(
+            self.variables, NamedSharding(mesh, P()))
+        return fn_jit(variables, x)
+
+    def sharded_scene_program(self, mesh, rows: int, cols: int):
+        """The cached jitted shard_map behind :meth:`predict_scene_sharded`
+        for a (rows, cols)-tile scene: ``fn(variables, scene_pad_cols)``
+        with ``variables`` replicated (``P()``) and ``scene_pad_cols`` a
+        GLOBAL (rows*p, cols*p + 2*(bc-p), C) uint8 array sharded
+        ``P(spatial, None, None)``. Exposed so multi-process (DCN)
+        callers can build the global input themselves with
+        ``jax.make_array_from_process_local_data`` — each host holds only
+        its row strip; the halo ppermute crosses the process boundary.
+        Single-process callers should use :meth:`predict_scene_sharded`.
+        """
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        n_sp = mesh.shape[SPATIAL_AXIS]
+        rows_local = rows // n_sp
         # One cached jitted shard_map per (mesh, geometry): rebuilding the
         # closure per scene would re-trace and re-lower every call — the
         # same per-call re-jit bug measured at 10.7 s/call in
@@ -660,23 +681,20 @@ class SceneSegmenter:
         # Mesh is hashable — keying on the object (not id()) keeps the
         # cache correct if a Mesh is garbage-collected and a new one
         # reuses the address.
-        key = (mesh, rows_local, grid.cols, pad)
+        key = (mesh, rows_local, cols, pad)
         fn_jit = self._sharded_cache.get(key)
         if fn_jit is None:
             def body(variables, strip):
                 # strip: (h/n, w + 2*pad, C) local rows
                 ext = exchange_row_halo(strip, pad, SPATIAL_AXIS)
-                return self._run_scene(variables, ext, rows_local, grid.cols)
+                return self._run_scene(variables, ext, rows_local, cols)
 
             fn_jit = jax.jit(shard_map(
-                body, mesh=mesh, in_specs=(P(), spec_in),
-                out_specs=spec_out, check_rep=False))
+                body, mesh=mesh,
+                in_specs=(P(), P(SPATIAL_AXIS, None, None)),
+                out_specs=P(SPATIAL_AXIS, None), check_rep=False))
             self._sharded_cache[key] = fn_jit
-        x = jax.device_put(
-            scene_pad_cols, NamedSharding(mesh, spec_in))
-        variables = jax.device_put(
-            self.variables, NamedSharding(mesh, P()))
-        return fn_jit(variables, x)
+        return fn_jit
 
     def predict_scenes_sharded(self, scenes, mesh) -> jnp.ndarray:
         """Scene-parallel batched inference — the production pod layout:

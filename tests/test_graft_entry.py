@@ -54,9 +54,10 @@ def test_dryrun_multihost():
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms', 'cpu'); "
          "import __graft_entry__ as g; g.dryrun_multihost(); print('OKMH')"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
     assert proc.returncode == 0, (
         f"dryrun_multihost failed:\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr[-4000:]}")
     assert "OKMH" in proc.stdout
     assert "gloo cross-process collectives" in proc.stdout
+    assert "halo ppermute across the process boundary" in proc.stdout
