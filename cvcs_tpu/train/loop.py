@@ -178,7 +178,16 @@ class Trainer:
             if (n_sp > 1 and a.ndim > h_axis + 1
                     and a.shape[h_axis] % n_sp == 0):
                 spec[h_axis] = mesh_lib.SPATIAL_AXIS
-            return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+            sharding = NamedSharding(self.mesh, P(*spec))
+            if jax.process_count() > 1:
+                # multi-host (mesh spans processes): every process holds
+                # the same global batch (the ChunkLoaders are seeded and
+                # deterministic), so extract this host's shards from it —
+                # device_put cannot place onto non-addressable devices
+                a = np.asarray(a)
+                return jax.make_array_from_process_local_data(
+                    sharding, a, a.shape)
+            return jax.device_put(a, sharding)
 
         return tuple(put(a) for a in arrays)
 

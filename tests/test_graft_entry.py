@@ -61,3 +61,4 @@ def test_dryrun_multihost():
     assert "OKMH" in proc.stdout
     assert "gloo cross-process collectives" in proc.stdout
     assert "halo ppermute across the process boundary" in proc.stdout
+    assert "shipped Trainer epoch over 2 processes" in proc.stdout
