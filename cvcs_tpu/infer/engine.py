@@ -649,8 +649,6 @@ class SceneSegmenter:
         scene = jnp.asarray(scene)[:h, :w]
         # pad columns only; rows are extended via halo exchange
         scene_pad_cols = jnp.pad(scene, ((0, 0), (pad, pad), (0, 0)))
-        rows_local = grid.rows // n_sp
-
         fn_jit = self.sharded_scene_program(mesh, grid.rows, grid.cols)
         x = jax.device_put(
             scene_pad_cols, NamedSharding(mesh, P(SPATIAL_AXIS, None, None)))
