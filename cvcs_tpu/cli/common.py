@@ -125,3 +125,27 @@ def resolve_config_arg(argv) -> dict:
     config = load_yaml(argv[1])
     display_configs(config)
     return config
+
+
+def segment_rasters(seg, rasters, mesh=None) -> list:
+    """Per-raster label maps for a list of arbitrary rasters, batching
+    where profitable (shared by the esa and serve CLIs): same-shape
+    batches run as ONE jitted program — with a mesh, full groups of
+    n_data rasters run scene-parallel (`predict_scenes_sharded`, scenes
+    over `data` x rows over `spatial`), the remainder per-raster with
+    spatial row-striping."""
+    from cvcs_tpu.core.mesh import DATA_AXIS
+
+    def one(r):
+        return (seg.predict_scene_sharded(r, mesh) if mesh is not None
+                else seg.predict_scene(r))
+
+    if len(rasters) > 1 and len({r.shape for r in rasters}) == 1:
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            full = len(rasters) - len(rasters) % n_data
+            per_scene = (list(seg.predict_scenes_sharded(
+                rasters[:full], mesh)) if full else [])
+            return per_scene + [one(r) for r in rasters[full:]]
+        return list(seg.predict_scenes(rasters))
+    return [one(r) for r in rasters]

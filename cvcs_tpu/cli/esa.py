@@ -18,7 +18,6 @@ import sys
 import numpy as np
 
 from cvcs_tpu.cli import common
-from cvcs_tpu.core.mesh import DATA_AXIS
 from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 
 
@@ -53,26 +52,11 @@ def run(config: dict) -> None:
         stem = Path(out_image)
         return str(stem.with_name(f"{stem.stem}_{i}{stem.suffix}"))
 
-    mesh = common.mesh_from_config(config)
-
-    def one(r):
-        return (seg.predict_scene_sharded(r, mesh) if mesh is not None
-                else seg.predict_scene(r))
-
-    if len(rasters) > 1 and len({r.shape for r in rasters}) == 1:
-        # same-shape batch: one jitted program for all scenes (small-scene
-        # workloads like ESA amortize dispatch this way); with a mesh,
-        # full groups of n_data rasters run scene-parallel
-        if mesh is not None:
-            n_data = mesh.shape[DATA_AXIS]
-            full = len(rasters) - len(rasters) % n_data
-            per_scene = (list(seg.predict_scenes_sharded(
-                rasters[:full], mesh)) if full else [])
-            per_scene += [one(r) for r in rasters[full:]]
-        else:
-            per_scene = list(seg.predict_scenes(rasters))
-    else:
-        per_scene = [one(r) for r in rasters]
+    # same-shape batches run as one jitted program (small-scene workloads
+    # like ESA amortize dispatch); with a mesh, full groups of n_data
+    # rasters run scene-parallel — see common.segment_rasters
+    per_scene = common.segment_rasters(
+        seg, rasters, common.mesh_from_config(config))
     for i, labels in enumerate(per_scene):
         if config.get("output"):
             out_dir = (config["output"] if len(per_scene) == 1

@@ -255,6 +255,55 @@ def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     assert got.shape == (PATCH * 2, PATCH * 3, 3)
 
 
+def test_serve_cli(trained_ckpt, tmp_path):
+    """Directory-watching service: processes arrivals once (manifest is
+    the restart journal), masks equal the one-shot engine's output, and
+    a restart picks up only new files."""
+    import json
+
+    from PIL import Image
+
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(8)
+    for i in range(3):
+        img = rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3), np.uint8)
+        Image.fromarray(img).save(watch / f"r{i}.png")
+    cfg = dict(watch_dir=str(watch), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=1,
+               load_checkpoint=str(trained_ckpt),
+               output=str(tmp_path / "srv"))
+    assert serve_cli.serve(cfg) == 3
+    out = tmp_path / "srv"
+    manifest = [json.loads(l) for l in
+                (out / "manifest.jsonl").read_text().splitlines()]
+    assert sorted(m["name"] for m in manifest) == [f"r{i}.png"
+                                                   for i in range(3)]
+    # masks match the one-shot engine on the same raster
+    from cvcs_tpu.cli import common
+    from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
+
+    model, spec, nc = common.build_net(cfg)
+    variables = common.restore_variables(cfg, model, PATCH)
+    seg = SceneSegmenter(model.apply, variables,
+                         InferenceConfig(patch_size=PATCH,
+                                         border_correction=None,
+                                         batch_tiles=4, num_classes=nc),
+                         returns_logits=spec.returns_logits)
+    raster = np.asarray(Image.open(watch / "r0.png"))
+    want = np.asarray(Image.open(out / "r0_mask.png"))
+    got_dir = tmp_path / "oneshot.png"
+    seg.export_map(seg.predict_scene(raster), got_dir)
+    np.testing.assert_array_equal(np.asarray(Image.open(got_dir)), want)
+    # restart: already-served names skipped, only the new arrival runs
+    img = rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3), np.uint8)
+    Image.fromarray(img).save(watch / "r3.png")
+    assert serve_cli.serve(cfg) == 1
+    assert (out / "r3_mask.png").exists()
+
+
 def test_esa_cli_mesh(trained_ckpt, tmp_path):
     """`mesh` in an esa config: same-shape raster groups run
     scene-parallel over the data axis (remainder through the per-raster
