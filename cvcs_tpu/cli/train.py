@@ -143,6 +143,7 @@ def main(argv=None) -> int:
             print("Error in setting up training.")
             return 1
         from cvcs_tpu.utils.profiling import trace
+        trainer.install_preemption_handler()
         with trace(config.get("profile_dir")):
             trainer.train()
     return 0

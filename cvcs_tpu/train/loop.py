@@ -134,6 +134,18 @@ class Trainer:
         self.conf_history: list[Any] = []
         self.last_epoch = 0
         self.last_metrics: dict | None = None
+        self._preempted = False
+
+    def install_preemption_handler(self, signums=None) -> None:
+        """Preemption-safe training (SURVEY §5; TPU pods get evicted with
+        a SIGTERM grace window): on the signal, finish the in-flight
+        chunk, write ``checkpoint{epoch}`` (so ``load_checkpoint: auto``
+        resumes by replaying the interrupted epoch from the preempted
+        weights), and return cleanly from :meth:`train`."""
+        import signal
+
+        for s in (signums or (signal.SIGTERM,)):
+            signal.signal(s, lambda *_: setattr(self, "_preempted", True))
 
     # -- resume ------------------------------------------------------------
     def resume(self, path: str | Path) -> None:
@@ -281,6 +293,20 @@ class Trainer:
                 if pending_losses is not None:
                     harvest(pending_losses)
                 pending_losses = chunk_losses
+                if self._preempted:
+                    harvest(pending_losses)
+                    ckpt_lib.save_checkpoint(
+                        cfg.checkpoint_directory, epoch - 1, self.state,
+                        self.training_loss_values,
+                        self.validation_loss_values, bs,
+                        self.optimizer.name)
+                    ckpt_lib.wait_for_saves()
+                    self.log(
+                        f"Preemption save: epoch {epoch + 1} interrupted "
+                        f"after chunk {c + 1}; wrote checkpoint{epoch} — "
+                        "resume replays this epoch from the preempted "
+                        "weights")
+                    return self.state
             if pending_losses is not None:
                 harvest(pending_losses)
             epoch_s = time.time() - t_epoch

@@ -140,6 +140,30 @@ def test_divergence_detection(smoke_setup, tmp_path):
         trainer.train()
 
 
+def test_preemption_save_and_resume(smoke_setup, tmp_path):
+    """SIGTERM through the installed handler checkpoints at the next
+    chunk boundary and returns cleanly; `resume` then replays the
+    interrupted epoch from the preempted weights to completion."""
+    import signal
+
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=5)
+    trainer.install_preemption_handler()
+    signal.raise_signal(signal.SIGTERM)   # "eviction" before epoch 1
+    trainer.train()
+    # preempted during epoch 1 -> checkpoint0 written, epochs 1-3 not run
+    assert (tmp_path / "checkpoint0").is_dir()
+    n_losses = len(trainer.training_loss_values)
+    assert 0 < n_losses < 3 * 6   # one chunk of epoch 1 only
+
+    t2 = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=5)
+    t2.resume(tmp_path / "checkpoint0")
+    assert t2.last_epoch == 0     # the interrupted epoch replays
+    t2.train()
+    # resumed run completes the full schedule on top of the saved history
+    assert len(t2.training_loss_values) == n_losses + 3 * 6
+    assert (tmp_path / "checkpoint3").is_dir()
+
+
 def test_checkpoint_resume_roundtrip(smoke_setup, tmp_path):
     t1 = _build_trainer(smoke_setup, tmp_path / "a", epochs=1, eval_freq=5)
     (tmp_path / "a").mkdir(exist_ok=True)
