@@ -90,9 +90,10 @@ def bench_train(dispatches: int = 3, bs: int = 128, k: int = 4,
     optimizer = build_optimizer("SGD2")
     state = create_train_state(
         model, optimizer, jnp.zeros((bs, PATCH, PATCH, 3), jnp.uint8))
-    # the SHIPPED default path (bn_exact_stats=True, train/loop.py):
-    # measured FASTER than update_stats=False on v5e (220.3 vs 238.9
-    # ms/step, bs 128) — the headline must bench what ships
+    # the SHIPPED default path (bn_exact_stats=True, train/loop.py): the
+    # headline must bench what ships. Measured wall-clock-equivalent to
+    # update_stats=False within the tunnel's run-to-run band (a one-off
+    # 220-vs-239 ms split did not replicate — BASELINE.md round-3 notes)
     multi_step = make_multi_train_step(build_loss("CEL"),
                                        update_stats=True)
     rng = np.random.default_rng(0)

@@ -10,13 +10,25 @@ program, and full groups run scene-parallel over a ``mesh`` (see
 ``output``. Processed names and per-raster latency are appended to
 ``output/manifest.jsonl`` (the service's observability surface and its
 restart journal: already-listed names are never re-processed, so a
-crashed or restarted service resumes where it left off).
+crashed or restarted service resumes where it left off; a torn final
+line from a crash mid-append is skipped, and that raster simply runs
+again — the export is idempotent).
+
+A long-lived daemon must outlive bad input: sizes are probed from image
+headers (a backlog never decodes into host RAM at once, and decoding is
+bounded to ``max_batch`` rasters), a raster that fails to decode or
+segment is retried on later polls and after ``max_retries`` attempts is
+journaled with an ``error`` entry and skipped from then on, and a batch
+failure falls back to per-raster runs so one poison pill cannot block
+its group. ``settle_s > 0`` ignores files modified within the last N
+seconds (arrivals still being copied in).
 
 Config keys: ``watch_dir``, ``net``, ``patch_size`` (default 512 like
 `esa.py:20-26`), ``load_checkpoint``, optional ``output`` (default
 ``<watch_dir>/output``), ``border_correction``, ``mesh``, ``poll_s``
-(default 2.0), ``max_polls`` (stop after N scans — the test hook; the
-default runs until interrupted).
+(default 2.0), ``max_batch`` (default 8), ``max_retries`` (default 3),
+``settle_s`` (default 0), ``max_polls`` (stop after N scans — the test
+hook; the default runs until interrupted).
 """
 
 from __future__ import annotations
@@ -33,6 +45,27 @@ from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
 
 
+def _read_journal(manifest) -> set:
+    """Names already handled (processed or journaled as failed).
+
+    Also repairs a torn final line (crash mid-append): without a closing
+    newline, the next append would concatenate onto the torn fragment
+    and garble a GOOD entry too.
+    """
+    done = set()
+    if manifest.exists():
+        data = manifest.read_bytes()
+        if data and not data.endswith(b"\n"):
+            with manifest.open("ab") as mf:
+                mf.write(b"\n")
+        for line in data.decode(errors="replace").splitlines():
+            try:
+                done.add(json.loads(line)["name"])
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue  # torn line: re-process that raster
+    return done
+
+
 def serve(config: dict) -> int:
     """Run the watch loop; returns the number of rasters processed."""
     from pathlib import Path
@@ -44,10 +77,7 @@ def serve(config: dict) -> int:
     out_dir = Path(config.get("output", watch / "output"))
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = out_dir / "manifest.jsonl"
-    done = set()
-    if manifest.exists():
-        for line in manifest.read_text().splitlines():
-            done.add(json.loads(line)["name"])
+    done = _read_journal(manifest)
 
     p = int(config.get("patch_size", 512))
     model, spec, num_classes = common.build_net(config)
@@ -63,28 +93,89 @@ def serve(config: dict) -> int:
     mesh = common.mesh_from_config(config)
 
     poll_s = float(config.get("poll_s", 2.0))
+    settle_s = float(config.get("settle_s", 0.0))
+    max_batch = max(1, int(config.get("max_batch", 8)))
+    max_retries = max(1, int(config.get("max_retries", 3)))
     max_polls = config.get("max_polls")
+    failures: dict[str, int] = {}
     n_processed = 0
     polls = 0
+
+    def journal(entry: dict) -> None:
+        with manifest.open("a") as mf:
+            mf.write(json.dumps(entry) + "\n")
+        done.add(entry["name"])
+
+    def fail(f, err) -> None:
+        n = failures.get(f.name, 0) + 1
+        failures[f.name] = n
+        if n >= max_retries:
+            journal({"name": f.name, "error": str(err), "attempts": n})
+            failures.pop(f.name, None)
+            print(f"giving up on {f.name} after {n} attempts: {err}",
+                  flush=True)
+        else:
+            print(f"failed {f.name} (attempt {n}/{max_retries}, will "
+                  f"retry): {err}", flush=True)
+
+    def export(batch, labels, t0) -> None:
+        nonlocal n_processed
+        for f, lab in zip(batch, labels):
+            seg.export_map(lab, out_dir / f"{f.stem}_mask.png")
+            journal({"name": f.name, "shape": list(lab.shape),
+                     "batch": len(batch),
+                     "batch_seconds": round(time.time() - t0, 3)})
+            failures.pop(f.name, None)
+            n_processed += 1
+            print(f"served {f.name} -> {f.stem}_mask.png", flush=True)
+
     while True:
-        new = sorted(
+        now = time.time()
+        pending = sorted(
             f for f in watch.iterdir()
-            if f.suffix.lower() in RASTER_SUFFIXES and f.name not in done)
-        if new:
-            rasters = [np.asarray(Image.open(f).convert("RGB"))
-                       for f in new]
-            t0 = time.time()
-            labels = common.segment_rasters(seg, rasters, mesh)
-            for f, lab in zip(new, labels):
-                seg.export_map(lab, out_dir / f"{f.stem}_mask.png")
-                entry = {"name": f.name, "shape": list(lab.shape),
-                         "batch": len(new),
-                         "batch_seconds": round(time.time() - t0, 3)}
-                with manifest.open("a") as mf:
-                    mf.write(json.dumps(entry) + "\n")
-                done.add(f.name)
-                n_processed += 1
-                print(f"served {f.name} -> {f.stem}_mask.png", flush=True)
+            if f.suffix.lower() in RASTER_SUFFIXES and f.name not in done
+            and now - f.stat().st_mtime >= settle_s)
+        # header-only size probe: group same-shape arrivals without
+        # decoding the whole backlog into host RAM
+        groups: dict[tuple, list] = {}
+        for f in pending:
+            try:
+                with Image.open(f) as im:
+                    groups.setdefault(im.size, []).append(f)
+            except Exception as err:   # mid-copy / not an image
+                fail(f, err)
+        for files in groups.values():
+            for i in range(0, len(files), max_batch):
+                chunk = files[i:i + max_batch]
+                batch, rasters = [], []
+                for f in chunk:   # decode bounded to one batch
+                    try:
+                        rasters.append(
+                            np.asarray(Image.open(f).convert("RGB")))
+                        batch.append(f)
+                    except Exception as err:
+                        fail(f, err)
+                if not batch:
+                    continue
+                t0 = time.time()
+                try:
+                    export(batch,
+                           common.segment_rasters(seg, rasters, mesh), t0)
+                except Exception as err:
+                    if len(batch) == 1:
+                        fail(batch[0], err)
+                        continue
+                    # isolate the poison pill: run each raster alone
+                    for f, r in zip(batch, rasters):
+                        if f.name in done:   # exported before the raise
+                            continue
+                        t1 = time.time()
+                        try:
+                            export([f],
+                                   common.segment_rasters(seg, [r], mesh),
+                                   t1)
+                        except Exception as err2:
+                            fail(f, err2)
         polls += 1
         if max_polls is not None and polls >= int(max_polls):
             return n_processed

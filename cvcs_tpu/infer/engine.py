@@ -540,10 +540,10 @@ class SceneSegmenter:
         p = self.cfg.patch_size
         w = cols * p
         bands = []
-        if col_tiles is not None and cols % col_tiles:
+        if col_tiles is not None and (col_tiles < 1 or cols % col_tiles):
             raise ValueError(
-                f"col_tiles={col_tiles} must divide the scene's "
-                f"{cols} tile columns")
+                f"col_tiles={col_tiles} must be a positive divisor of "
+                f"the scene's {cols} tile columns")
         for r0 in range(0, rows, band_rows):
             br = min(band_rows, rows - r0)
             if col_tiles is None:
@@ -591,10 +591,10 @@ class SceneSegmenter:
             raise ValueError(
                 f"{rows} tile rows do not shard over {n_sp} devices")
         rows_local = rows // n_sp
-        if col_tiles is not None and cols % col_tiles:
+        if col_tiles is not None and (col_tiles < 1 or cols % col_tiles):
             raise ValueError(
-                f"col_tiles={col_tiles} must divide the scene's "
-                f"{cols} tile columns")
+                f"col_tiles={col_tiles} must be a positive divisor of "
+                f"the scene's {cols} tile columns")
         rt = row_tiles or rows_local
         if rows_local % rt:
             raise ValueError(

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-_CKPT_RE = re.compile(r"^checkpoint(\d+)$")
+_CKPT_RE = re.compile(r"^checkpoint(\d+)(_preempt)?$")
 
 
 def jnp_leaf_cast(value, template):
@@ -69,15 +69,22 @@ def save_checkpoint(
     conf_flat: Any = None,
     conf_normalized: Any = None,
     async_save: bool = False,
+    tag: str = "",
 ) -> Path:
-    """Write ``<dir>/checkpoint{epoch+1}`` (name parity: `utils.py:142`).
+    """Write ``<dir>/checkpoint{epoch+1}{tag}`` (name parity:
+    `utils.py:142`).
 
     ``async_save=True`` overlaps the array write with the next epoch's
     compute (Orbax AsyncCheckpointer); call :func:`wait_for_saves` before
     process exit or before restoring the same path.
+
+    ``tag`` distinguishes out-of-band saves — the preemption path uses
+    ``tag="_preempt"`` so a mid-epoch eviction never overwrites the last
+    epoch-boundary checkpoint (whose confusion histories would be lost,
+    and which must survive if the grace window expires mid-write).
     """
     directory = Path(directory)
-    path = directory / f"checkpoint{epoch + 1}"
+    path = directory / f"checkpoint{epoch + 1}{tag}"
     tree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -189,9 +196,15 @@ def latest_checkpoint(directory: str | Path) -> Path | None:
     directory = Path(directory)
     if not directory.is_dir():
         return None
-    best, best_n = None, -1
+    best, best_key = None, (-1, 0)
     for child in directory.iterdir():
         m = _CKPT_RE.match(child.name)
-        if m and int(m.group(1)) > best_n and (child / "state").is_dir():
-            best, best_n = child, int(m.group(1))
+        if not m or not (child / "state").is_dir():
+            continue
+        # checkpoint{N}_preempt holds mid-epoch-N weights — strictly newer
+        # than checkpoint{N} (the epoch N-1 boundary), strictly older than
+        # checkpoint{N+1}
+        key = (int(m.group(1)), 1 if m.group(2) else 0)
+        if key > best_key:
+            best, best_key = child, key
     return best

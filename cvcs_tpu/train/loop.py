@@ -139,9 +139,13 @@ class Trainer:
     def install_preemption_handler(self, signums=None) -> None:
         """Preemption-safe training (SURVEY §5; TPU pods get evicted with
         a SIGTERM grace window): on the signal, finish the in-flight
-        chunk, write ``checkpoint{epoch}`` (so ``load_checkpoint: auto``
-        resumes by replaying the interrupted epoch from the preempted
-        weights), and return cleanly from :meth:`train`."""
+        chunk, write ``checkpoint{epoch}_preempt`` (so
+        ``load_checkpoint: auto`` resumes by replaying the interrupted
+        epoch from the preempted weights; the distinct name keeps the
+        last boundary checkpoint intact), and return cleanly from
+        :meth:`train`. A signal landing during the end-of-epoch
+        validation/evaluation exits after that epoch's boundary work
+        instead of running into the next epoch."""
         import signal
 
         for s in (signums or (signal.SIGTERM,)):
@@ -295,17 +299,21 @@ class Trainer:
                 pending_losses = chunk_losses
                 if self._preempted:
                     harvest(pending_losses)
+                    # land any in-flight async boundary save FIRST — it may
+                    # target this directory, and two writers racing on the
+                    # recovery state is exactly the failure preemption
+                    # handling exists to prevent
+                    ckpt_lib.wait_for_saves()
                     ckpt_lib.save_checkpoint(
                         cfg.checkpoint_directory, epoch - 1, self.state,
                         self.training_loss_values,
                         self.validation_loss_values, bs,
-                        self.optimizer.name)
-                    ckpt_lib.wait_for_saves()
+                        self.optimizer.name, tag="_preempt")
                     self.log(
                         f"Preemption save: epoch {epoch + 1} interrupted "
-                        f"after chunk {c + 1}; wrote checkpoint{epoch} — "
-                        "resume replays this epoch from the preempted "
-                        "weights")
+                        f"after chunk {c + 1}; wrote "
+                        f"checkpoint{epoch}_preempt — resume replays this "
+                        "epoch from the preempted weights")
                     return self.state
             if pending_losses is not None:
                 harvest(pending_losses)
@@ -360,6 +368,22 @@ class Trainer:
                         for m in self.conf_history],
                     async_save=cfg.async_checkpoints)
                 self.log(f"Saved checkpoint {epoch + 1}")
+
+            if self._preempted:
+                # the signal landed during validation/evaluation: this
+                # epoch is COMPLETE, so exit on a normal boundary
+                # checkpoint instead of training a full chunk of the next
+                # epoch before noticing (the grace window is short)
+                ckpt_lib.wait_for_saves()
+                if (epoch + 1) % cfg.freq != 0:   # no boundary save above
+                    ckpt_lib.save_checkpoint(
+                        cfg.checkpoint_directory, epoch, self.state,
+                        self.training_loss_values,
+                        self.validation_loss_values, bs,
+                        self.optimizer.name)
+                self.log(f"Preemption save: stopped after completed epoch "
+                         f"{epoch + 1}; wrote checkpoint{epoch + 1}")
+                return self.state
 
         ckpt_lib.wait_for_saves()   # land any in-flight async checkpoint
         self.log("Training Done!")

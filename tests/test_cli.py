@@ -304,6 +304,97 @@ def test_serve_cli(trained_ckpt, tmp_path):
     assert (out / "r3_mask.png").exists()
 
 
+def test_serve_cli_resilience(trained_ckpt, tmp_path):
+    """A long-lived daemon must outlive bad input: corrupt files and
+    rasters the engine rejects are journaled with an error entry after
+    max_retries (never crash-looping the service), a torn manifest line
+    doesn't block restart, and already-journaled names are skipped."""
+    import json
+
+    from PIL import Image
+
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(9)
+    Image.fromarray(rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3),
+                                 np.uint8)).save(watch / "good.png")
+    (watch / "corrupt.png").write_bytes(b"this is not a png")
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3),
+                                 np.uint8)).save(watch / "tiny.png")
+    Image.fromarray(rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3),
+                                 np.uint8)).save(watch / "pre.png")
+    out = tmp_path / "srv"
+    out.mkdir()
+    # pre-existing journal: one valid entry + a torn final line (crash
+    # mid-append)
+    (out / "manifest.jsonl").write_text(
+        json.dumps({"name": "pre.png", "shape": [PATCH * 2, PATCH * 2]})
+        + "\n" + '{"name": "torn')
+    cfg = dict(watch_dir=str(watch), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=1,
+               max_retries=1, load_checkpoint=str(trained_ckpt),
+               output=str(out))
+    assert serve_cli.serve(cfg) == 1   # only good.png; pre.png journaled
+    assert (out / "good_mask.png").exists()
+    assert not (out / "pre_mask.png").exists()
+    entries = {}
+    for line in (out / "manifest.jsonl").read_text().splitlines():
+        try:
+            e = json.loads(line)
+            entries[e["name"]] = e
+        except json.JSONDecodeError:
+            pass
+    assert "error" in entries["corrupt.png"]
+    assert "error" in entries["tiny.png"]
+    assert "error" not in entries["good.png"]
+    # restart with everything journaled: nothing re-processed
+    assert serve_cli.serve(cfg) == 0
+
+
+def test_serve_cli_batch_poison_isolation(trained_ckpt, tmp_path,
+                                          monkeypatch):
+    """A batch failure falls back to per-raster runs, so one poison pill
+    cannot block its same-shape group."""
+    from PIL import Image
+
+    from cvcs_tpu.cli import common
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(10)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3),
+                                     np.uint8)).save(watch / f"r{i}.png")
+
+    real = common.segment_rasters
+    calls = []
+
+    def flaky(seg, rasters, mesh=None):
+        calls.append(len(rasters))
+        if len(rasters) > 1:
+            raise RuntimeError("batch poisoned")
+        if np.asarray(rasters[0]).sum() % 2 == 0:   # one raster "bad"
+            raise RuntimeError("single poisoned")
+        return real(seg, rasters, mesh)
+
+    monkeypatch.setattr(serve_cli.common, "segment_rasters", flaky)
+    cfg = dict(watch_dir=str(watch), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=1,
+               max_retries=1, load_checkpoint=str(trained_ckpt),
+               output=str(tmp_path / "srv"))
+    n = serve_cli.serve(cfg)
+    # the batch attempt failed, each raster then ran alone; the
+    # deterministic "bad" ones were journaled, the rest served
+    assert calls[0] == 3 and set(calls[1:]) == {1}
+    bad = sum(1 for i in range(3)
+              if np.asarray(Image.open(
+                  watch / f"r{i}.png").convert("RGB")).sum() % 2 == 0)
+    assert n == 3 - bad
+
+
 def test_esa_cli_mesh(trained_ckpt, tmp_path):
     """`mesh` in an esa config: same-shape raster groups run
     scene-parallel over the data axis (remainder through the per-raster

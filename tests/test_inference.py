@@ -201,6 +201,10 @@ def test_fullconv_pointwise_exact():
     with pytest.raises(ValueError, match="col_tiles"):
         # cols = 6 tile columns at P=16 — 4 does not divide it
         seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=4)
+    with pytest.raises(ValueError, match="col_tiles"):
+        # 0 (e.g. a fullconv_chunks: [2, 0] config) must raise the same
+        # clear error, not ZeroDivisionError
+        seg.predict_padded_fullconv(padded, rows, cols, halo, col_tiles=0)
 
 
 def test_fullconv_single_band_matches_direct_forward():

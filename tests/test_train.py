@@ -150,18 +150,52 @@ def test_preemption_save_and_resume(smoke_setup, tmp_path):
     trainer.install_preemption_handler()
     signal.raise_signal(signal.SIGTERM)   # "eviction" before epoch 1
     trainer.train()
-    # preempted during epoch 1 -> checkpoint0 written, epochs 1-3 not run
-    assert (tmp_path / "checkpoint0").is_dir()
+    # preempted during epoch 1 -> checkpoint0_preempt written (the tag
+    # keeps mid-epoch saves from overwriting boundary checkpoints),
+    # epochs 1-3 not run
+    assert (tmp_path / "checkpoint0_preempt").is_dir()
+    assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint0_preempt"
     n_losses = len(trainer.training_loss_values)
     assert 0 < n_losses < 3 * 6   # one chunk of epoch 1 only
 
     t2 = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=5)
-    t2.resume(tmp_path / "checkpoint0")
+    t2.resume(tmp_path / "checkpoint0_preempt")
     assert t2.last_epoch == 0     # the interrupted epoch replays
     t2.train()
     # resumed run completes the full schedule on top of the saved history
     assert len(t2.training_loss_values) == n_losses + 3 * 6
     assert (tmp_path / "checkpoint3").is_dir()
+
+
+def test_preemption_during_validation_exits_on_boundary(smoke_setup,
+                                                        tmp_path):
+    """A signal landing in end-of-epoch validation stops after that
+    epoch's boundary work instead of training a full chunk of the next
+    epoch first (the eviction grace window is short)."""
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=5)
+    orig = trainer.validation_loss
+
+    def preempting_validation():
+        trainer._preempted = True   # "SIGTERM mid-validation"
+        return orig()
+
+    trainer.validation_loss = preempting_validation
+    trainer.train()
+    # exactly one epoch ran; the exit checkpoint is the normal boundary
+    # one (the epoch was complete, so no _preempt tag)
+    assert len(trainer.training_loss_values) == 6
+    assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint1"
+    assert not (tmp_path / "checkpoint0_preempt").exists()
+
+
+def test_latest_checkpoint_prefers_preempt_of_same_epoch(tmp_path):
+    """checkpoint{N}_preempt (mid-epoch N) outranks checkpoint{N} (the
+    epoch N-1 boundary) but not checkpoint{N+1}."""
+    for name in ("checkpoint1", "checkpoint2", "checkpoint2_preempt"):
+        (tmp_path / name / "state").mkdir(parents=True)
+    assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint2_preempt"
+    (tmp_path / "checkpoint3" / "state").mkdir(parents=True)
+    assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint3"
 
 
 def test_checkpoint_resume_roundtrip(smoke_setup, tmp_path):
