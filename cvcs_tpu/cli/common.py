@@ -117,6 +117,22 @@ def build_ensemble(config: dict, patch_size: int) -> Ensemble:
     return Ensemble(members, num_classes)
 
 
+def build_apply(config: dict, patch_size: int):
+    """``(apply_fn, variables, num_classes, returns_logits,
+    requires_context)`` for a config's net — dispatching ``net: Ensemble``
+    the way the reference's `load_network` does (`utils.py:174-195`) — so
+    every inference-side CLI (predict/esa/serve) shares one construction
+    path and all of them accept ensembles."""
+    if config.get("net") == "Ensemble":
+        ens = build_ensemble(config, patch_size)
+        return (ens.apply, ens.member_variables, ens.num_classes,
+                ens.returns_logits, ens.requires_context)
+    model, spec, num_classes = build_net(config)
+    variables = restore_variables(config, model, patch_size)
+    return (model.apply, variables, num_classes,
+            spec.returns_logits, spec.requires_context)
+
+
 def resolve_config_arg(argv) -> dict:
     from cvcs_tpu.config import display_configs, load_yaml
 

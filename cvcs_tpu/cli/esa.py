@@ -33,16 +33,18 @@ def run(config: dict) -> None:
     rasters = [np.asarray(Image.open(f).convert("RGB")) for f in paths]
     p = int(config.get("patch_size", 512))
 
-    model, spec, num_classes = common.build_net(config)
-    variables = common.restore_variables(config, model, p)
+    (apply_fn, variables, num_classes,
+     returns_logits, requires_context) = common.build_apply(config, p)
     seg = SceneSegmenter(
-        model.apply, variables,
+        apply_fn, variables,
         InferenceConfig(
             patch_size=p,
             border_correction=config.get("border_correction"),
             batch_tiles=int(config.get("batch_tiles", 4)),
-            num_classes=num_classes),
-        returns_logits=spec.returns_logits)
+            num_classes=num_classes,
+            tta=bool(config.get("tta"))),
+        returns_logits=returns_logits,
+        requires_context=requires_context)
 
     out_image = config.get("out_image", "output_esa.png")
 

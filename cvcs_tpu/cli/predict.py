@@ -33,24 +33,13 @@ def predict(config: dict) -> None:
     grid = TileGrid(dataset.image_shape, p)
     tpi = grid.tiles_per_image
 
-    if config["net"] == "Ensemble":
-        # the reference's `inference.py` builds its net through
-        # `load_network`, which dispatches "Ensemble"
-        # (`utils.py:174-195`); `utils.inference` handles its label
-        # (non-logits) output (`utils.py:157-158`). Member forwards +
-        # one-hot vote jit into the same whole-scene program; member
-        # weights ride as the traced variables pytree.
-        ens = common.build_ensemble(config, p)
-        apply_fn, variables = ens.apply, ens.member_variables
-        num_classes = ens.num_classes
-        returns_logits = ens.returns_logits
-        requires_context = ens.requires_context
-    else:
-        model, spec, num_classes = common.build_net(config)
-        variables = common.restore_variables(config, model, p)
-        apply_fn = model.apply
-        returns_logits = spec.returns_logits
-        requires_context = spec.requires_context
+    # `net: Ensemble` dispatches like the reference's `load_network`
+    # (`utils.py:174-195`); `utils.inference` handles its label
+    # (non-logits) output (`utils.py:157-158`). Member forwards + one-hot
+    # vote jit into the same whole-scene program; member weights ride as
+    # the traced variables pytree.
+    (apply_fn, variables, num_classes,
+     returns_logits, requires_context) = common.build_apply(config, p)
     infer_cfg = InferenceConfig(
         patch_size=p,
         border_correction=config.get("border_correction"),

@@ -93,6 +93,11 @@ class SceneSegmenter:
         self.cfg = config
         self.returns_logits = returns_logits
         self.requires_context = requires_context
+        if config.tta and not returns_logits:
+            raise ValueError(
+                "tta averages logits over the dihedral flips — a "
+                "label-output net (e.g. Ensemble) has no logits to "
+                "average; drop 'tta' or apply it per member instead")
         self.palette = GID15Palette()
         # variables are a traced argument (not baked constants); apply_fn
         # and the geometry are static via closure.

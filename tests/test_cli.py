@@ -353,6 +353,34 @@ def test_serve_cli_resilience(trained_ckpt, tmp_path):
     assert serve_cli.serve(cfg) == 0
 
 
+def test_serve_cli_ensemble_and_tta_guard(trained_ckpt, tmp_path):
+    """`net: Ensemble` works through the serving daemon (every
+    inference-side CLI shares `common.build_apply`, which dispatches
+    Ensemble like the reference's `load_network`, `utils.py:174-195`);
+    and `tta` on a label-output net fails loudly instead of silently
+    averaging nothing."""
+    from PIL import Image
+
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(11)
+    Image.fromarray(rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3),
+                                 np.uint8)).save(watch / "r0.png")
+    members = tmp_path / "ensemble.yaml"
+    members.write_text(yaml.safe_dump(
+        {"Unet": str(trained_ckpt), "Unetv2": None}))
+    out = tmp_path / "srv"
+    cfg = dict(watch_dir=str(watch), net="Ensemble", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=1,
+               ensemble_config=str(members), output=str(out))
+    assert serve_cli.serve(cfg) == 1
+    assert (out / "r0_mask.png").exists()
+    with pytest.raises(ValueError, match="tta"):
+        serve_cli.serve(dict(cfg, tta=True))
+
+
 def test_serve_cli_batch_poison_isolation(trained_ckpt, tmp_path,
                                           monkeypatch):
     """A batch failure falls back to per-raster runs, so one poison pill
