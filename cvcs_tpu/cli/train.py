@@ -108,7 +108,9 @@ def build_trainer(config: dict) -> Trainer:
         metrics_log=config.get("metrics_log"),
         bn_exact_stats=bool(config.get("bn_exact_stats", True)),
         async_checkpoints=bool(config.get("async_checkpoints", False)),
-        eval_downscale=int(config.get("eval_downscale", 1)))
+        eval_downscale=int(config.get("eval_downscale", 1)),
+        keep_checkpoints=(int(config["keep_checkpoints"])
+                          if config.get("keep_checkpoints") else None))
     if train_cfg.eval_downscale > 1 and \
             int(config["patch_size"]) % train_cfg.eval_downscale:
         # fail at config time, not hours later at the first periodic eval

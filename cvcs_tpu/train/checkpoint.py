@@ -208,3 +208,32 @@ def latest_checkpoint(directory: str | Path) -> Path | None:
         if key > best_key:
             best, best_key = child, key
     return best
+
+
+def prune_checkpoints(directory: str | Path, keep: int) -> list[Path]:
+    """Delete all but the newest ``keep`` COMPLETE checkpoints (framework
+    extension — the reference keeps every epoch's full state forever,
+    `utils.py:128-142`, which for a production run is unbounded disk).
+
+    Ranked like :func:`latest_checkpoint` (``checkpoint{N}_preempt`` sits
+    between epochs N and N+1). A checkpoint whose ``state`` directory has
+    not been finalized yet (an in-flight async save) is neither counted
+    nor touched, so the guarantee is "at least ``keep`` complete
+    checkpoints survive". Returns the deleted paths.
+    """
+    import shutil
+
+    directory = Path(directory)
+    if keep < 1 or not directory.is_dir():
+        return []
+    ranked = []
+    for child in directory.iterdir():
+        m = _CKPT_RE.match(child.name)
+        if m and (child / "state").is_dir():
+            ranked.append(((int(m.group(1)), 1 if m.group(2) else 0),
+                           child))
+    ranked.sort()
+    doomed = [c for _, c in ranked[:-keep]]
+    for c in doomed:
+        shutil.rmtree(c)
+    return doomed

@@ -81,6 +81,9 @@ class TrainConfig:
     bn_exact_stats: bool = True
     # overlap checkpoint writes with the next epoch (Orbax async)
     async_checkpoints: bool = False
+    # retention: keep only the newest N complete checkpoints (None =
+    # reference behavior, keep every epoch's state forever)
+    keep_checkpoints: int | None = None
     # periodic (precision_evaluation_freq) confusion evals run on 1/N-
     # resolution patches (2x2 box-mean image, nearest mask) — ~N² cheaper
     # on giant validation sets. 1 (default) = reference-exact full-res
@@ -309,6 +312,9 @@ class Trainer:
                         self.training_loss_values,
                         self.validation_loss_values, bs,
                         self.optimizer.name, tag="_preempt")
+                    if cfg.keep_checkpoints:
+                        ckpt_lib.prune_checkpoints(
+                            cfg.checkpoint_directory, cfg.keep_checkpoints)
                     self.log(
                         f"Preemption save: epoch {epoch + 1} interrupted "
                         f"after chunk {c + 1}; wrote "
@@ -368,6 +374,11 @@ class Trainer:
                         for m in self.conf_history],
                     async_save=cfg.async_checkpoints)
                 self.log(f"Saved checkpoint {epoch + 1}")
+                if cfg.keep_checkpoints:
+                    for old in ckpt_lib.prune_checkpoints(
+                            cfg.checkpoint_directory,
+                            cfg.keep_checkpoints):
+                        self.log(f"Pruned {old.name}")
 
             if self._preempted:
                 # the signal landed during validation/evaluation: this
@@ -381,11 +392,20 @@ class Trainer:
                         self.training_loss_values,
                         self.validation_loss_values, bs,
                         self.optimizer.name)
+                if cfg.keep_checkpoints:
+                    ckpt_lib.prune_checkpoints(
+                        cfg.checkpoint_directory, cfg.keep_checkpoints)
                 self.log(f"Preemption save: stopped after completed epoch "
                          f"{epoch + 1}; wrote checkpoint{epoch + 1}")
                 return self.state
 
         ckpt_lib.wait_for_saves()   # land any in-flight async checkpoint
+        if cfg.keep_checkpoints:
+            # with async saves the in-loop prune skips in-flight writes;
+            # now that everything has landed, tighten to exactly N
+            for old in ckpt_lib.prune_checkpoints(
+                    cfg.checkpoint_directory, cfg.keep_checkpoints):
+                self.log(f"Pruned {old.name}")
         self.log("Training Done!")
         if self.training_loss_values:
             self.log(f"Reached training loss: {self.training_loss_values[-1]}")

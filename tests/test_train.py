@@ -82,7 +82,7 @@ def smoke_setup(tmp_path_factory):
     return root
 
 
-def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2):
+def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2, **cfg_extra):
     loader = ChunkLoader(str(root), chunk_size=2, patch_size=PATCH,
                          load_context=False, seed=0)
     val_loader = ChunkLoader(str(root), chunk_size=2, patch_size=PATCH,
@@ -94,7 +94,8 @@ def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2):
     loss_fn = build_loss("CEL")
     cfg = TrainConfig(
         epochs=epochs, batch_size=2, checkpoint_directory=str(ckpt_dir),
-        freq=1, precision_evaluation_freq=eval_freq, num_classes=15)
+        freq=1, precision_evaluation_freq=eval_freq, num_classes=15,
+        **cfg_extra)
     return Trainer(model, spec, state, optimizer, loss_fn,
                    loader, val_loader, cfg, log=lambda s: None)
 
@@ -186,6 +187,23 @@ def test_preemption_during_validation_exits_on_boundary(smoke_setup,
     assert len(trainer.training_loss_values) == 6
     assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint1"
     assert not (tmp_path / "checkpoint0_preempt").exists()
+
+
+def test_keep_checkpoints_retention(smoke_setup, tmp_path):
+    """keep_checkpoints=2: only the newest two complete checkpoints
+    survive a 3-epoch run; a stale _preempt checkpoint counts in the
+    ranking and is pruned like any other; an unfinished directory (an
+    in-flight async save) is never touched."""
+    # stale artifacts an earlier preempted run might have left behind
+    (tmp_path / "checkpoint1_preempt" / "state").mkdir(parents=True)
+    (tmp_path / "inflight").mkdir()          # not checkpoint-named
+    (tmp_path / "checkpoint9").mkdir()       # torn: no state/ yet
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=5,
+                             keep_checkpoints=2)
+    trainer.train()
+    names = sorted(d.name for d in tmp_path.iterdir() if d.is_dir())
+    assert names == ["checkpoint2", "checkpoint3", "checkpoint9",
+                     "inflight"]
 
 
 def test_latest_checkpoint_prefers_preempt_of_same_epoch(tmp_path):
