@@ -110,7 +110,8 @@ def build_trainer(config: dict) -> Trainer:
         async_checkpoints=bool(config.get("async_checkpoints", False)),
         eval_downscale=int(config.get("eval_downscale", 1)),
         keep_checkpoints=(int(config["keep_checkpoints"])
-                          if config.get("keep_checkpoints") else None))
+                          if config.get("keep_checkpoints") else None),
+        remat=bool(config.get("remat", False)))
     if train_cfg.eval_downscale > 1 and \
             int(config["patch_size"]) % train_cfg.eval_downscale:
         # fail at config time, not hours later at the first periodic eval

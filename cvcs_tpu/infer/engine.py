@@ -117,7 +117,7 @@ class SceneSegmenter:
             self._fullconv_band_chunked,
             static_argnames=("chunk_h", "chunk_w", "n_rows", "n_cols",
                              "chunk_out_h", "chunk_out_w", "halo"))
-        self._sharded_cache = {}   # (mesh id, geometry) -> jitted shard_map
+        self._sharded_cache = {}   # (mesh, geometry) -> jitted shard_map
 
     # -- geometry ------------------------------------------------------------
     def _window(self) -> tuple[int, int]:

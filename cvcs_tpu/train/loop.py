@@ -84,6 +84,11 @@ class TrainConfig:
     # retention: keep only the newest N complete checkpoints (None =
     # reference behavior, keep every epoch's state forever)
     keep_checkpoints: int | None = None
+    # rematerialize activations in the backward pass (jax.checkpoint):
+    # ~one extra forward of FLOPs buys back the activation HBM, for
+    # batch/patch sizes that otherwise OOM (same math; results equal up
+    # to compiler reassociation)
+    remat: bool = False
     # periodic (precision_evaluation_freq) confusion evals run on 1/N-
     # resolution patches (2x2 box-mean image, nearest mask) — ~N² cheaper
     # on giant validation sets. 1 (default) = reference-exact full-res
@@ -120,10 +125,10 @@ class Trainer:
 
         update_stats = config.bn_exact_stats
         self.train_step = make_train_step(
-            loss_fn, spec.requires_context, update_stats)
+            loss_fn, spec.requires_context, update_stats, config.remat)
         self.multi_step = (
             make_multi_train_step(loss_fn, spec.requires_context,
-                                  update_stats)
+                                  update_stats, config.remat)
             if config.steps_per_call > 1 else None)
         self.stats_step = (None if update_stats
                            else make_stats_step(spec.requires_context))

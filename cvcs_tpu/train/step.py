@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 
 def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
-                     update_stats: bool = True):
+                     update_stats: bool = True, remat: bool = False):
     """Raw (unjitted) train step body shared by the single- and multi-step
     builders.
 
@@ -36,6 +36,13 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
     it pairs with :func:`make_stats_step` for periodic refresh.
     Reference-exact per-step updates are the default and the benched
     path.
+
+    ``remat=True`` wraps the forward in :func:`jax.checkpoint`: XLA
+    stores only the step's inputs and recomputes activations during the
+    backward pass — ~one extra forward of FLOPs buys back the activation
+    HBM, unlocking batch/patch sizes that otherwise OOM a 16 GB chip
+    (losses and gradients identical up to compiler reassociation; pinned
+    by ``tests/test_bn_fast_stats.py::test_remat_step_matches_plain``).
     """
 
     def train_step(state, image, mask, context, lr, dropout_key):
@@ -49,6 +56,9 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(dropout_key, state.step)})
             return loss_fn(logits, mask), mutated
+
+        if remat:
+            compute_loss = jax.checkpoint(compute_loss)
 
         if update_stats:
             (loss, mutated), grads = jax.value_and_grad(
@@ -74,19 +84,19 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
 
 
 def make_train_step(loss_fn: Callable, requires_context: bool = False,
-                    update_stats: bool = True):
+                    update_stats: bool = True, remat: bool = False):
     """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
     return partial(jax.jit, donate_argnums=(0,))(
-        _train_step_impl(loss_fn, requires_context, update_stats))
+        _train_step_impl(loss_fn, requires_context, update_stats, remat))
 
 
 def make_multi_train_step(loss_fn: Callable, requires_context: bool = False,
-                          update_stats: bool = True):
+                          update_stats: bool = True, remat: bool = False):
     """Compiled multi-step training: one dispatch runs a `lax.scan` over a
     stacked (K, B, ...) batch sequence — amortizes host->device dispatch
     latency (measured ~2 ms/step through this machine's TPU tunnel, which
     otherwise dominates sub-2ms steps). Returns (state, (K,) losses)."""
-    single = _train_step_impl(loss_fn, requires_context, update_stats)
+    single = _train_step_impl(loss_fn, requires_context, update_stats, remat)
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, images, masks, contexts, lr, dropout_key):
