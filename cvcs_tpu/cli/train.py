@@ -111,13 +111,19 @@ def build_trainer(config: dict) -> Trainer:
         eval_downscale=int(config.get("eval_downscale", 1)),
         keep_checkpoints=(int(config["keep_checkpoints"])
                           if config.get("keep_checkpoints") else None),
-        remat=bool(config.get("remat", False)))
+        remat=bool(config.get("remat", False)),
+        grad_accum=int(config.get("grad_accum", 1)))
     if train_cfg.eval_downscale > 1 and \
             int(config["patch_size"]) % train_cfg.eval_downscale:
         # fail at config time, not hours later at the first periodic eval
         raise ValueError(
             f"eval_downscale={train_cfg.eval_downscale} must divide "
             f"patch_size={config['patch_size']}")
+    if train_cfg.grad_accum > 1 and \
+            train_cfg.batch_size % train_cfg.grad_accum:
+        raise ValueError(
+            f"grad_accum={train_cfg.grad_accum} must divide "
+            f"batch_size={train_cfg.batch_size}")
 
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,

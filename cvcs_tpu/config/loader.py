@@ -25,6 +25,7 @@ TRAIN_KEYS = {
     "precision", "mesh", "seed", "in_channels", "profile_dir",
     "steps_per_call", "metrics_log", "bn_exact_stats",
     "async_checkpoints", "eval_downscale", "keep_checkpoints", "remat",
+    "grad_accum",
 }
 EVAL_KEYS = {
     "dataset", "net", "load_checkpoint", "patch_size", "load_context",

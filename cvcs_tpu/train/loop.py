@@ -89,6 +89,12 @@ class TrainConfig:
     # batch/patch sizes that otherwise OOM (same math; results equal up
     # to compiler reassociation)
     remat: bool = False
+    # gradient accumulation: split each batch into N sequential
+    # micro-batches (peak activation memory of one micro-batch, one
+    # optimizer update per batch — torch `loss/N; backward()` loop
+    # semantics, BN stats update per micro-batch). batch_size % N == 0;
+    # indivisible tail batches run the plain step
+    grad_accum: int = 1
     # periodic (precision_evaluation_freq) confusion evals run on 1/N-
     # resolution patches (2x2 box-mean image, nearest mask) — ~N² cheaper
     # on giant validation sets. 1 (default) = reference-exact full-res
@@ -125,10 +131,17 @@ class Trainer:
 
         update_stats = config.bn_exact_stats
         self.train_step = make_train_step(
-            loss_fn, spec.requires_context, update_stats, config.remat)
+            loss_fn, spec.requires_context, update_stats, config.remat,
+            config.grad_accum)
+        # tail batches whose size grad_accum doesn't divide fall back to
+        # the unsplit step (same optimizer-update-per-batch contract)
+        self.plain_step = (self.train_step if config.grad_accum == 1 else
+                           make_train_step(loss_fn, spec.requires_context,
+                                           update_stats, config.remat))
         self.multi_step = (
             make_multi_train_step(loss_fn, spec.requires_context,
-                                  update_stats, config.remat)
+                                  update_stats, config.remat,
+                                  config.grad_accum)
             if config.steps_per_call > 1 else None)
         self.stats_step = (None if update_stats
                            else make_stats_step(spec.requires_context))
@@ -283,7 +296,10 @@ class Trainer:
                         batch.image, batch.mask, batch.context)
                     if ctx is None:
                         ctx = jnp.zeros((), jnp.uint8)  # placeholder leaf
-                    self.state, loss = self.train_step(
+                    step_fn = (self.train_step
+                               if image.shape[0] % cfg.grad_accum == 0
+                               else self.plain_step)
+                    self.state, loss = step_fn(
                         self.state, image, mask, ctx,
                         jnp.float32(lr), self.dropout_key)
                     chunk_losses.append(loss)

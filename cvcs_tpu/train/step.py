@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 
 def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
-                     update_stats: bool = True, remat: bool = False):
+                     update_stats: bool = True, remat: bool = False,
+                     accum: int = 1):
     """Raw (unjitted) train step body shared by the single- and multi-step
     builders.
 
@@ -43,31 +44,77 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
     HBM, unlocking batch/patch sizes that otherwise OOM a 16 GB chip
     (losses and gradients identical up to compiler reassociation; pinned
     by ``tests/test_bn_fast_stats.py::test_remat_step_matches_plain``).
+
+    ``accum=N`` (gradient accumulation) splits the batch into N
+    micro-batches run sequentially under a ``lax.scan`` — one optimizer
+    update from the mean of the micro-gradients, so peak activation
+    memory is that of a single micro-batch. Torch-accumulation
+    semantics: BN normalizes and updates its running stats per
+    micro-batch (in order), dropout draws fresh noise per micro-batch,
+    and the reported loss is the mean of micro losses (for weighted
+    losses such as wCEL that is the mean of per-micro weighted means,
+    exactly what a ``loss / N; loss.backward()`` torch loop produces —
+    not the unsplit-batch weighted mean). The batch size must be
+    divisible by ``accum``; the Trainer routes indivisible tail batches
+    to a plain (accum=1) step.
     """
 
-    def train_step(state, image, mask, context, lr, dropout_key):
-        x = image.astype(jnp.float32)
-        ctx = context.astype(jnp.float32) if requires_context else None
-
-        def compute_loss(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+    def forward_grads(state, params, stats, x, mask, ctx, key):
+        def compute_loss(p):
+            variables = {"params": p, "batch_stats": stats}
             logits, mutated = state.apply_fn(
                 variables, x, context=ctx, train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(dropout_key, state.step)})
+                mutable=["batch_stats"], rngs={"dropout": key})
             return loss_fn(logits, mask), mutated
 
         if remat:
             compute_loss = jax.checkpoint(compute_loss)
-
         if update_stats:
             (loss, mutated), grads = jax.value_and_grad(
-                compute_loss, has_aux=True)(state.params)
-            new_stats = mutated.get("batch_stats", state.batch_stats)
+                compute_loss, has_aux=True)(params)
+            return loss, grads, mutated.get("batch_stats", stats)
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(p)[0])(params)
+        return loss, grads, stats
+
+    def train_step(state, image, mask, context, lr, dropout_key):
+        x = image.astype(jnp.float32)
+        ctx = context.astype(jnp.float32) if requires_context else None
+        base_key = jax.random.fold_in(dropout_key, state.step)
+
+        if accum == 1:
+            loss, grads, new_stats = forward_grads(
+                state, state.params, state.batch_stats, x, mask, ctx,
+                base_key)
         else:
-            loss, grads = jax.value_and_grad(
-                lambda p: compute_loss(p)[0])(state.params)
-            new_stats = state.batch_stats
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"grad_accum={accum} must divide the batch size "
+                    f"{x.shape[0]}")
+            mb = x.shape[0] // accum
+            xs = x.reshape((accum, mb) + x.shape[1:])
+            ms = mask.reshape((accum, mb) + mask.shape[1:])
+            cs = (ctx.reshape((accum, mb) + ctx.shape[1:])
+                  if requires_context else jnp.zeros((accum,), jnp.float32))
+
+            def body(carry, inp):
+                stats, gacc, lacc, i = carry
+                xi, mi, ci = inp
+                loss_i, grads_i, stats = forward_grads(
+                    state, state.params, stats, xi, mi,
+                    ci if requires_context else None,
+                    jax.random.fold_in(base_key, i))
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads_i)
+                return (stats, gacc, lacc + loss_i, i + 1), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), state.params)
+            (new_stats, gsum, lsum, _), _ = jax.lax.scan(
+                body, (state.batch_stats, zero_g, jnp.float32(0),
+                       jnp.int32(0)), (xs, ms, cs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+
         updates, new_opt_state = state.tx.update(
             grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
@@ -84,19 +131,23 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
 
 
 def make_train_step(loss_fn: Callable, requires_context: bool = False,
-                    update_stats: bool = True, remat: bool = False):
+                    update_stats: bool = True, remat: bool = False,
+                    accum: int = 1):
     """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
     return partial(jax.jit, donate_argnums=(0,))(
-        _train_step_impl(loss_fn, requires_context, update_stats, remat))
+        _train_step_impl(loss_fn, requires_context, update_stats, remat,
+                         accum))
 
 
 def make_multi_train_step(loss_fn: Callable, requires_context: bool = False,
-                          update_stats: bool = True, remat: bool = False):
+                          update_stats: bool = True, remat: bool = False,
+                          accum: int = 1):
     """Compiled multi-step training: one dispatch runs a `lax.scan` over a
     stacked (K, B, ...) batch sequence — amortizes host->device dispatch
     latency (measured ~2 ms/step through this machine's TPU tunnel, which
     otherwise dominates sub-2ms steps). Returns (state, (K,) losses)."""
-    single = _train_step_impl(loss_fn, requires_context, update_stats, remat)
+    single = _train_step_impl(loss_fn, requires_context, update_stats, remat,
+                              accum)
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, images, masks, contexts, lr, dropout_key):
