@@ -178,3 +178,47 @@ def test_dp_step_equals_single_device_step():
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_dp_accum_step_equals_single_device_accum_step():
+    """grad_accum composes with DP: the (B,) -> (accum, B/accum) reshape
+    runs under GSPMD with the batch sharded over 8 devices, so each
+    micro-batch is the same global sample slice (and BN's batch-mean is
+    the same global mean) as on one device — losses and updated params
+    must agree to f32-reassociation tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvcs_tpu.core.mesh import DATA_AXIS
+    from cvcs_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (16, PATCH, PATCH, 3), np.uint8)
+    msk = rng.integers(0, 16, (16, PATCH, PATCH)).astype(np.int32)
+
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+
+    def run(mesh):
+        state = create_train_state(
+            model, optimizer, jnp.zeros((16, PATCH, PATCH, 3), jnp.uint8))
+        step = make_train_step(build_loss("CEL"), accum=2)
+        if mesh is None:
+            x, m = jnp.asarray(img), jnp.asarray(msk)
+        else:
+            state = replicate(state, mesh)
+            x = jax.device_put(img, NamedSharding(
+                mesh, P(DATA_AXIS, None, None, None)))
+            m = jax.device_put(msk, NamedSharding(mesh, P(DATA_AXIS)))
+        state, loss = step(state, x, m, jnp.zeros((), jnp.uint8),
+                           jnp.float32(6e-3), jax.random.key(0))
+        return state, float(loss)
+
+    s1, l1 = run(None)
+    s8, l8 = run(create_mesh(MeshConfig(data=8, spatial=1)))
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        (s1.params, s1.batch_stats)),
+                    jax.tree_util.tree_leaves(
+                        (s8.params, s8.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
