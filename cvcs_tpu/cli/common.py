@@ -40,10 +40,27 @@ def model_dtypes(config: dict) -> dict:
 
 def build_net(config: dict):
     """Model + spec from config names; like the reference, builds with
-    num_classes + 1 for background (`utils.py:176`)."""
+    num_classes + 1 for background (`utils.py:176`).
+
+    ``remat: true`` (train configs only) builds the model with
+    block-level rematerialization — measured on v5e: -13% peak HBM for
+    -11% step time on UNetv2 (BASELINE.md round 3). Models that don't
+    expose a ``remat`` field reject it here; ``grad_accum`` is the
+    architecture-independent (and measured-cheaper) memory lever."""
     name = config["net"]
     num_classes = int(config.get("num_classes", 15)) + 1
-    model, spec = build_model(name, num_classes, **model_dtypes(config))
+    kw = model_dtypes(config)
+    if config.get("remat"):
+        try:
+            model, spec = build_model(name, num_classes, remat=True, **kw)
+        except TypeError:
+            raise ValueError(
+                f"remat: true is not supported for net {name!r} "
+                "(block-level rematerialization is implemented for the "
+                "UNet family); use grad_accum — measured the stronger "
+                "memory lever anyway (BASELINE.md round 3)") from None
+        return model, spec, num_classes
+    model, spec = build_model(name, num_classes, **kw)
     return model, spec, num_classes
 
 

@@ -111,7 +111,6 @@ def build_trainer(config: dict) -> Trainer:
         eval_downscale=int(config.get("eval_downscale", 1)),
         keep_checkpoints=(int(config["keep_checkpoints"])
                           if config.get("keep_checkpoints") else None),
-        remat=bool(config.get("remat", False)),
         grad_accum=int(config.get("grad_accum", 1)))
     if train_cfg.eval_downscale > 1 and \
             int(config["patch_size"]) % train_cfg.eval_downscale:

@@ -38,21 +38,32 @@ ENCODER_WIDTHS = (64, 128, 256, 512, 1024)
 
 
 class _Encoder(nn.Module):
-    """5-level UNet encoder; returns all level features for skips."""
+    """5-level UNet encoder; returns all level features for skips.
+
+    ``remat=True`` wraps each conv-BN-ReLU block in :func:`nn.remat` so
+    the backward pass recomputes the block's internals (conv output, BN
+    normalization) instead of storing them — only the level boundary
+    activations (needed for the skips anyway) stay live. Names are
+    pinned to the plain variant's auto-names so checkpoints and torch
+    importers are remat-agnostic."""
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # static_argnums=(2,): `train` (after self, x) stays a Python bool
+        block = (nn.remat(ConvBNAct, static_argnums=(2,)) if self.remat
+                 else ConvBNAct)
         feats = []
         for level, width in enumerate(ENCODER_WIDTHS):
             if level > 0:
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-            x = ConvBNAct(width, dtype=self.dtype,
-                          param_dtype=self.param_dtype)(x, train)
-            x = ConvBNAct(width, dtype=self.dtype,
-                          param_dtype=self.param_dtype)(x, train)
+            for j in (0, 1):
+                x = block(width, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name=f"ConvBNAct_{2 * level + j}")(x, train)
             feats.append(x)
         return feats
 
@@ -86,6 +97,10 @@ class UNet(nn.Module):
     stem: str = "full"          # "full" (parity) | "s2d" (perf variant)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # block-level rematerialization (see _Encoder): backward recomputes
+    # each conv-BN block's internals; peak activation HBM drops to the
+    # level boundaries. Same math/params/checkpoint layout.
+    remat: bool = False
 
     requires_context = False
     returns_logits = True
@@ -97,7 +112,8 @@ class UNet(nn.Module):
         if self.stem == "s2d":
             x = _space_to_depth(x, 2)
         x1, x2, x3, x4, x5 = _Encoder(
-            dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat)(x, train)
         # TP hook: under parallel.tp.tensor_parallel the 1024-ch bottleneck
         # activation is pinned channel-sharded so its convs compute sharded.
         from cvcs_tpu.parallel import tp as _tp
@@ -113,6 +129,12 @@ class UNet(nn.Module):
                 y.shape[-1] // 2,
                 dtype=self.dtype, param_dtype=self.param_dtype)(y)
 
+        # Decoder blocks deliberately NOT rematted: measured on v5e
+        # (bs 128) nn.remat around the DecodeBlocks RAISES peak HBM back
+        # to 10.81 GiB (vs 9.29 encoder-only) and costs another 16% step
+        # time — the prevent_cse barriers stop XLA from fusing into the
+        # big skip-concats. Encoder-only is the measured optimum
+        # (BASELINE.md round 3).
         y = up(x5)
         y = DecodeBlock(512, dtype=self.dtype,
                         param_dtype=self.param_dtype)(

@@ -84,11 +84,10 @@ class TrainConfig:
     # retention: keep only the newest N complete checkpoints (None =
     # reference behavior, keep every epoch's state forever)
     keep_checkpoints: int | None = None
-    # rematerialize activations in the backward pass (jax.checkpoint):
-    # ~one extra forward of FLOPs buys back the activation HBM, for
-    # batch/patch sizes that otherwise OOM (same math; results equal up
-    # to compiler reassociation)
-    remat: bool = False
+    # (rematerialization is a model-construction concern — `remat: true`
+    # in a train config builds the net with block-level nn.remat, see
+    # cli/common.build_net; a step-level jax.checkpoint was measured
+    # HARMFUL and removed, train/step.py docstring)
     # gradient accumulation: split each batch into N sequential
     # micro-batches (peak activation memory of one micro-batch, one
     # optimizer update per batch — torch `loss/N; backward()` loop
@@ -131,17 +130,16 @@ class Trainer:
 
         update_stats = config.bn_exact_stats
         self.train_step = make_train_step(
-            loss_fn, spec.requires_context, update_stats, config.remat,
+            loss_fn, spec.requires_context, update_stats,
             config.grad_accum)
         # tail batches whose size grad_accum doesn't divide fall back to
         # the unsplit step (same optimizer-update-per-batch contract)
         self.plain_step = (self.train_step if config.grad_accum == 1 else
                            make_train_step(loss_fn, spec.requires_context,
-                                           update_stats, config.remat))
+                                           update_stats))
         self.multi_step = (
             make_multi_train_step(loss_fn, spec.requires_context,
-                                  update_stats, config.remat,
-                                  config.grad_accum)
+                                  update_stats, config.grad_accum)
             if config.steps_per_call > 1 else None)
         self.stats_step = (None if update_stats
                            else make_stats_step(spec.requires_context))

@@ -22,8 +22,7 @@ import jax.numpy as jnp
 
 
 def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
-                     update_stats: bool = True, remat: bool = False,
-                     accum: int = 1):
+                     update_stats: bool = True, accum: int = 1):
     """Raw (unjitted) train step body shared by the single- and multi-step
     builders.
 
@@ -38,12 +37,14 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
     Reference-exact per-step updates are the default and the benched
     path.
 
-    ``remat=True`` wraps the forward in :func:`jax.checkpoint`: XLA
-    stores only the step's inputs and recomputes activations during the
-    backward pass — ~one extra forward of FLOPs buys back the activation
-    HBM, unlocking batch/patch sizes that otherwise OOM a 16 GB chip
-    (losses and gradients identical up to compiler reassociation; pinned
-    by ``tests/test_bn_fast_stats.py::test_remat_step_matches_plain``).
+    Rematerialization note: a ``jax.checkpoint`` wrap of the whole
+    forward was implemented here and MEASURED HARMFUL on v5e (bs 128
+    UNetv2: peak HBM 10.7 -> 14.0 GiB, step 239 -> 319 ms) — the
+    backward's recompute phase re-materializes everything the plain
+    program stored, so nothing is saved and the barrier defeats XLA's
+    scheduler. Removed; ``remat`` now means block-level ``nn.remat``
+    inside the model (``models/unet.py``), and ``accum`` below is the
+    architecture-independent memory lever (measured free).
 
     ``accum=N`` (gradient accumulation) splits the batch into N
     micro-batches run sequentially under a ``lax.scan`` — one optimizer
@@ -67,8 +68,6 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
                 mutable=["batch_stats"], rngs={"dropout": key})
             return loss_fn(logits, mask), mutated
 
-        if remat:
-            compute_loss = jax.checkpoint(compute_loss)
         if update_stats:
             (loss, mutated), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(params)
@@ -131,22 +130,19 @@ def _train_step_impl(loss_fn: Callable, requires_context: bool = False,
 
 
 def make_train_step(loss_fn: Callable, requires_context: bool = False,
-                    update_stats: bool = True, remat: bool = False,
-                    accum: int = 1):
+                    update_stats: bool = True, accum: int = 1):
     """Build the donated train step: (state, batch, lr, key) -> (state, loss)."""
     return partial(jax.jit, donate_argnums=(0,))(
-        _train_step_impl(loss_fn, requires_context, update_stats, remat,
-                         accum))
+        _train_step_impl(loss_fn, requires_context, update_stats, accum))
 
 
 def make_multi_train_step(loss_fn: Callable, requires_context: bool = False,
-                          update_stats: bool = True, remat: bool = False,
-                          accum: int = 1):
+                          update_stats: bool = True, accum: int = 1):
     """Compiled multi-step training: one dispatch runs a `lax.scan` over a
     stacked (K, B, ...) batch sequence — amortizes host->device dispatch
     latency (measured ~2 ms/step through this machine's TPU tunnel, which
     otherwise dominates sub-2ms steps). Returns (state, (K,) losses)."""
-    single = _train_step_impl(loss_fn, requires_context, update_stats, remat,
+    single = _train_step_impl(loss_fn, requires_context, update_stats,
                               accum)
 
     @partial(jax.jit, donate_argnums=(0,))

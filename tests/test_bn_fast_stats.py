@@ -47,25 +47,27 @@ def test_fast_path_identical_losses_and_params():
     assert any(not np.allclose(x, y) for x, y in zip(sa, sb))
 
 
-def test_remat_step_matches_plain():
-    """remat=True (jax.checkpoint around the forward) must be a pure
-    memory/FLOP trade: losses, updated params, AND updated BN running
-    stats equal to the plain step up to compiler reassociation (the
-    checkpoint boundary changes fusion, so reductions re-associate at
-    ~1e-6 — mathematically the same program, not the same instruction
-    order)."""
+def test_remat_model_step_matches_plain():
+    """A full train step on the block-remat model (the `remat: true`
+    config path) must be a pure memory trade: loss, updated params, AND
+    updated BN running stats equal to the plain model's step up to
+    compiler reassociation. (A step-level jax.checkpoint variant was
+    measured harmful on v5e and removed — see train/step.py.)"""
     _, _, _, state_a = _setup()
-    _, _, _, state_b = _setup()
+    model_r, _ = build_model("Unet", 16, dtype=jnp.float32, remat=True)
+    optimizer = build_optimizer("SGD2")
+    from cvcs_tpu.train import create_train_state
+    state_b = create_train_state(
+        model_r, optimizer, jnp.zeros((2, PATCH, PATCH, 3), jnp.uint8))
     loss_fn = build_loss("CEL")
-    plain = make_train_step(loss_fn)
-    remat = make_train_step(loss_fn, remat=True)
+    step = make_train_step(loss_fn)
     rng = np.random.default_rng(4)
     img = jnp.asarray(rng.integers(0, 256, (2, PATCH, PATCH, 3), np.uint8))
     msk = jnp.asarray(rng.integers(0, 16, (2, PATCH, PATCH), np.int32))
     ctx = jnp.zeros((), jnp.uint8)
     key = jax.random.key(0)
-    state_a, loss_a = plain(state_a, img, msk, ctx, jnp.float32(1e-2), key)
-    state_b, loss_b = remat(state_b, img, msk, ctx, jnp.float32(1e-2), key)
+    state_a, loss_a = step(state_a, img, msk, ctx, jnp.float32(1e-2), key)
+    state_b, loss_b = step(state_b, img, msk, ctx, jnp.float32(1e-2), key)
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(
                         (state_a.params, state_a.batch_stats)),

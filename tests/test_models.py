@@ -195,3 +195,37 @@ def test_unetv2_s2d_variant_trains():
                            jax.random.key(0))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_unet_block_remat_is_exact():
+    """UNet(remat=True) (block-level nn.remat with pinned scope names)
+    must be a pure memory trade: identical init (names match the plain
+    auto-names, so checkpoints/importers are remat-agnostic), identical
+    loss, gradients, and BN stat updates."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
+                    ).astype(jnp.float32)
+    m_p, _ = build_model("Unetv2", 16, dtype=jnp.float32)
+    m_r, _ = build_model("Unetv2", 16, dtype=jnp.float32, remat=True)
+    v_p = m_p.init(jax.random.key(0), x, train=False)
+    v_r = m_r.init(jax.random.key(0), x, train=False)
+    pp = jax.tree_util.tree_leaves(v_p["params"])
+    pr = jax.tree_util.tree_leaves(v_r["params"])
+    assert len(pp) == len(pr)
+    assert all(np.array_equal(a, b) for a, b in zip(pp, pr))
+
+    def run(m, v):
+        def f(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.mean(out.astype(jnp.float32) ** 2), mut
+        (l, mut), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return l, g, mut["batch_stats"]
+
+    lp, gp, sp = run(m_p, v_p)
+    lr, gr, sr = run(m_r, v_r)
+    assert float(lp) == float(lr)
+    for a, b in zip(jax.tree_util.tree_leaves((gp, sp)),
+                    jax.tree_util.tree_leaves((gr, sr))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
