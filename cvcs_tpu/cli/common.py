@@ -53,7 +53,9 @@ def build_net(config: dict):
     if config.get("remat"):
         try:
             model, spec = build_model(name, num_classes, remat=True, **kw)
-        except TypeError:
+        except TypeError as e:
+            if "remat" not in str(e):
+                raise  # a genuine construction error, not lack of support
             raise ValueError(
                 f"remat: true is not supported for net {name!r} "
                 "(block-level rematerialization is implemented for the "

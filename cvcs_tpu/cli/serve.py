@@ -7,7 +7,8 @@ Watches ``watch_dir`` for new rasters (png/jpg/tif), segments each with
 the whole-scene engine — same-shape arrivals batch into one jitted
 program, and full groups run scene-parallel over a ``mesh`` (see
 ``common.segment_rasters``) — and writes ``<stem>_mask.png`` into
-``output``. Processed names and per-raster latency are appended to
+``output`` (same-stem sources with different suffixes get suffixed mask
+names instead of overwriting). Processed names and per-raster latency are appended to
 ``output/manifest.jsonl`` (the service's observability surface and its
 restart journal: already-listed names are never re-processed, so a
 crashed or restarted service resumes where it left off; a torn final
@@ -17,11 +18,14 @@ again — the export is idempotent).
 A long-lived daemon must outlive bad input: sizes are probed from image
 headers (a backlog never decodes into host RAM at once, and decoding is
 bounded to ``max_batch`` rasters), a raster that fails to decode or
-segment is retried on later polls and after ``max_retries`` attempts is
-journaled with an ``error`` entry and skipped from then on, and a batch
-failure falls back to per-raster runs so one poison pill cannot block
-its group. ``settle_s > 0`` ignores files modified within the last N
-seconds (arrivals still being copied in).
+segment is retried on later polls and after ``max_retries`` attempts on
+an UNCHANGED file (size+mtime — a file still being copied in resets the
+counter, so slow arrivals are never blacklisted) is journaled with an
+``error`` entry and skipped from then on, a batch failure falls back to
+per-raster runs so one poison pill cannot block its group, and files
+that vanish between listing and stat are skipped. ``settle_s > 0``
+ignores files modified within the last N seconds (arrivals still being
+copied in).
 
 Config keys: ``watch_dir``, ``net``, ``patch_size`` (default 512 like
 `esa.py:20-26`), ``load_checkpoint``, optional ``output`` (default
@@ -45,14 +49,17 @@ from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
 
 
-def _read_journal(manifest) -> set:
-    """Names already handled (processed or journaled as failed).
+def _read_journal(manifest) -> tuple[set, dict]:
+    """(names already handled, mask-filename claims) from the journal.
 
     Also repairs a torn final line (crash mid-append): without a closing
     newline, the next append would concatenate onto the torn fragment
-    and garble a GOOD entry too.
+    and garble a GOOD entry too. The claims map (mask filename -> source
+    raster name) lets a restarted daemon keep disambiguating same-stem
+    sources (``a.png`` vs ``a.tif``) instead of overwriting masks.
     """
     done = set()
+    claimed: dict[str, str] = {}
     if manifest.exists():
         data = manifest.read_bytes()
         if data and not data.endswith(b"\n"):
@@ -60,10 +67,15 @@ def _read_journal(manifest) -> set:
                 mf.write(b"\n")
         for line in data.decode(errors="replace").splitlines():
             try:
-                done.add(json.loads(line)["name"])
+                entry = json.loads(line)
+                done.add(entry["name"])
+                if "error" not in entry:
+                    mask = entry.get(
+                        "mask", f"{entry['name'].rsplit('.', 1)[0]}_mask.png")
+                    claimed.setdefault(mask, entry["name"])
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue  # torn line: re-process that raster
-    return done
+    return done, claimed
 
 
 def serve(config: dict) -> int:
@@ -77,7 +89,7 @@ def serve(config: dict) -> int:
     out_dir = Path(config.get("output", watch / "output"))
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = out_dir / "manifest.jsonl"
-    done = _read_journal(manifest)
+    done, claimed = _read_journal(manifest)
 
     p = int(config.get("patch_size", 512))
     (apply_fn, variables, num_classes,
@@ -99,7 +111,7 @@ def serve(config: dict) -> int:
     max_batch = max(1, int(config.get("max_batch", 8)))
     max_retries = max(1, int(config.get("max_retries", 3)))
     max_polls = config.get("max_polls")
-    failures: dict[str, int] = {}
+    failures: dict[str, tuple[int, tuple]] = {}  # name -> (count, (size, mtime))
     n_processed = 0
     polls = 0
 
@@ -108,9 +120,22 @@ def serve(config: dict) -> int:
             mf.write(json.dumps(entry) + "\n")
         done.add(entry["name"])
 
+    def _sig(f):
+        try:
+            st = f.stat()
+            return (st.st_size, st.st_mtime_ns)
+        except OSError:
+            return None
+
     def fail(f, err) -> None:
-        n = failures.get(f.name, 0) + 1
-        failures[f.name] = n
+        # retries only count against an UNCHANGED file: a raster still
+        # being copied in keeps failing to decode, but its (size, mtime)
+        # keeps moving — resetting the counter prevents the daemon from
+        # permanently blacklisting valid input mid-copy
+        sig = _sig(f)
+        prev_n, prev_sig = failures.get(f.name, (0, None))
+        n = prev_n + 1 if sig == prev_sig else 1
+        failures[f.name] = (n, sig)
         if n >= max_retries:
             journal({"name": f.name, "error": str(err), "attempts": n})
             failures.pop(f.name, None)
@@ -123,20 +148,34 @@ def serve(config: dict) -> int:
     def export(batch, labels, t0) -> None:
         nonlocal n_processed
         for f, lab in zip(batch, labels):
-            seg.export_map(lab, out_dir / f"{f.stem}_mask.png")
-            journal({"name": f.name, "shape": list(lab.shape),
-                     "batch": len(batch),
+            mask = f"{f.stem}_mask.png"
+            if claimed.get(mask, f.name) != f.name:
+                # same-stem sibling (a.png vs a.tif) already owns this
+                # mask name — disambiguate instead of overwriting
+                mask = f"{f.stem}{f.suffix.replace('.', '_')}_mask.png"
+            claimed[mask] = f.name
+            seg.export_map(lab, out_dir / mask)
+            journal({"name": f.name, "mask": mask,
+                     "shape": list(lab.shape), "batch": len(batch),
                      "batch_seconds": round(time.time() - t0, 3)})
             failures.pop(f.name, None)
             n_processed += 1
-            print(f"served {f.name} -> {f.stem}_mask.png", flush=True)
+            print(f"served {f.name} -> {mask}", flush=True)
+
+    def _settled(f, now):
+        # a file may vanish between iterdir() and stat() (producer tmp
+        # files, operator cleanup) — skip it, never crash the daemon
+        try:
+            return now - f.stat().st_mtime >= settle_s
+        except OSError:
+            return False
 
     while True:
         now = time.time()
         pending = sorted(
             f for f in watch.iterdir()
             if f.suffix.lower() in RASTER_SUFFIXES and f.name not in done
-            and now - f.stat().st_mtime >= settle_s)
+            and _settled(f, now))
         # header-only size probe: group same-shape arrivals without
         # decoding the whole backlog into host RAM
         groups: dict[tuple, list] = {}

@@ -118,6 +118,10 @@ def build_trainer(config: dict) -> Trainer:
         raise ValueError(
             f"eval_downscale={train_cfg.eval_downscale} must divide "
             f"patch_size={config['patch_size']}")
+    if train_cfg.grad_accum < 1:
+        raise ValueError(
+            f"grad_accum={train_cfg.grad_accum} must be >= 1 "
+            "(1 disables accumulation)")
     if train_cfg.grad_accum > 1 and \
             train_cfg.batch_size % train_cfg.grad_accum:
         raise ValueError(

@@ -119,6 +119,16 @@ class SceneSegmenter:
                              "chunk_out_h", "chunk_out_w", "halo"))
         self._sharded_cache = {}   # (mesh, geometry) -> jitted shard_map
 
+    def _reject_tta_fullconv(self) -> None:
+        """The fullconv paths do not implement the dihedral TTA averaging
+        the window path applies — refusing the combination beats silently
+        returning non-TTA predictions labeled as a TTA run."""
+        if self.cfg.tta:
+            raise ValueError(
+                "tta composes with the window path only; the fullconv "
+                "paths don't apply the dihedral averaging — drop 'tta' "
+                "or drop 'fullconv_bands'/'fullconv_chunks'")
+
     # -- geometry ------------------------------------------------------------
     def _window(self) -> tuple[int, int]:
         """(window size, offset of window top-left relative to tile)."""
@@ -425,6 +435,7 @@ class SceneSegmenter:
         :meth:`predict_scene_streamed` (one band of imagery + two label
         bands resident). Returns HOST uint8 (H', W') labels.
         """
+        self._reject_tta_fullconv()
         p = self.cfg.patch_size
         bc, _ = self._window()
         if halo is None:
@@ -464,6 +475,7 @@ class SceneSegmenter:
         extends past the tile grid; zeros elsewhere. Returns
         ``(padded uint8 device array (H'+2h, W'+2h, C), rows, cols, halo)``.
         """
+        self._reject_tta_fullconv()
         p = self.cfg.patch_size
         bc, _ = self._window()
         if halo is None:
@@ -585,6 +597,7 @@ class SceneSegmenter:
         The tile-row count must divide the mesh's ``spatial`` axis size.
         Returns the stitched (rows*p, cols*p) uint8 map, row-sharded.
         """
+        self._reject_tta_fullconv()
         p = self.cfg.patch_size
         bc, _ = self._window()
         halo = (bc - p) // 2
@@ -638,6 +651,14 @@ class SceneSegmenter:
     def predict_scene_sharded(self, scene, mesh) -> jnp.ndarray:
         """Shard the scene's rows over the mesh's ``spatial`` axis, heal
         window seams with a ppermute halo, stitch per-device strips.
+        Bit-identical to :meth:`predict_scene` — including non-tile-aligned
+        rasters (real GID15 scenes): the raster's bottom/right overhang
+        beyond the tile grid is real context for the edge tiles' border
+        windows in the single-device path, so here the right overhang rides
+        in the (unsharded) column padding and the bottom overhang is
+        injected into the last device's lower halo (ppermute supplies zeros
+        there, which is only correct when the raster ends exactly at the
+        grid).
 
         The scene's tile-aligned height must divide evenly by
         ``patch_size * spatial_axis_size``.
@@ -646,20 +667,58 @@ class SceneSegmenter:
         bc, _ = self._window()
         pad = bc - p
         n_sp = mesh.shape[SPATIAL_AXIS]
-        grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        raw = np.asarray(scene)
+        grid = TileGrid((raw.shape[0], raw.shape[1]), p)
         h, w = grid.rows * p, grid.cols * p
         if grid.rows % n_sp:
             raise ValueError(
                 f"{grid.rows} tile rows do not shard over {n_sp} devices")
-        scene = jnp.asarray(scene)[:h, :w]
-        # pad columns only; rows are extended via halo exchange
-        scene_pad_cols = jnp.pad(scene, ((0, 0), (pad, pad), (0, 0)))
-        fn_jit = self.sharded_scene_program(mesh, grid.rows, grid.cols)
+        hp = min(raw.shape[0], h + pad)   # real bottom overhang rows
+        wp = min(raw.shape[1], w + pad)   # real right overhang cols
+        # pad columns only (real overhang where present); rows are
+        # extended via halo exchange
+        scene_pad_cols = jnp.pad(jnp.asarray(raw[:h, :wp]),
+                                 ((0, 0), (pad, pad - (wp - w)), (0, 0)))
+        bottom = np.zeros((pad, w + 2 * pad) + raw.shape[2:], raw.dtype)
+        if pad and hp > h:
+            bottom[:hp - h, pad:pad + wp] = raw[h:hp, :wp]
+        fn_jit = self._sharded_scene_program_edge(mesh, grid.rows,
+                                                  grid.cols)
         x = jax.device_put(
             scene_pad_cols, NamedSharding(mesh, P(SPATIAL_AXIS, None, None)))
+        b = jax.device_put(
+            jnp.asarray(bottom), NamedSharding(mesh, P()))
         variables = jax.device_put(
             self.variables, NamedSharding(mesh, P()))
-        return fn_jit(variables, x)
+        return fn_jit(variables, x, b)
+
+    def _sharded_scene_program_edge(self, mesh, rows: int, cols: int):
+        """:meth:`sharded_scene_program` plus a third input: a replicated
+        (pad, cols*p + 2*pad, C) array the LAST spatial device substitutes
+        for its ppermute-zero lower halo — the raster's real bottom
+        overhang (see :meth:`predict_scene_sharded`)."""
+        p = self.cfg.patch_size
+        bc, _ = self._window()
+        pad = bc - p
+        n_sp = mesh.shape[SPATIAL_AXIS]
+        rows_local = rows // n_sp
+        key = (mesh, "edge", rows_local, cols, pad)
+        fn_jit = self._sharded_cache.get(key)
+        if fn_jit is None:
+            def body(variables, strip, bottom):
+                ext = exchange_row_halo(strip, pad, SPATIAL_AXIS)
+                if pad:
+                    last = jax.lax.axis_index(SPATIAL_AXIS) == n_sp - 1
+                    ext = ext.at[-pad:].set(
+                        jnp.where(last, bottom, ext[-pad:]))
+                return self._run_scene(variables, ext, rows_local, cols)
+
+            fn_jit = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(SPATIAL_AXIS, None, None), P()),
+                out_specs=P(SPATIAL_AXIS, None), check_rep=False))
+            self._sharded_cache[key] = fn_jit
+        return fn_jit
 
     def sharded_scene_program(self, mesh, rows: int, cols: int):
         """The cached jitted shard_map behind :meth:`predict_scene_sharded`
@@ -704,7 +763,12 @@ class SceneSegmenter:
         the scene stack shards over the mesh's ``data`` axis (independent
         scenes, zero communication on that axis) while each scene's rows
         shard over the ``spatial`` axis with ppermute halo exchange.
-        Bit-identical to :meth:`predict_scene` run per scene.
+        Bit-identical to :meth:`predict_scene` run per scene — including
+        non-tile-aligned rasters: the bottom/right overhang past the tile
+        grid is real border-window context in the single-device path, so
+        the right overhang rides in the unsharded column padding and the
+        bottom overhang is injected into the last spatial device's lower
+        halo (see :meth:`predict_scene_sharded`).
 
         The scene count must divide by the data axis size and the scenes'
         tile-row count by the spatial axis size; scenes must share one
@@ -728,33 +792,47 @@ class SceneSegmenter:
                 f"{grid.rows} tile rows do not shard over the spatial "
                 f"axis ({n_sp} devices)")
         h, w = grid.rows * p, grid.cols * p
-        stack = jnp.asarray(stack[:, :h, :w])
-        # pad columns only; rows are extended via halo exchange (edge
-        # devices receive ppermute zeros = the single-device zero padding)
+        hp = min(stack.shape[1], h + pad)   # real bottom overhang rows
+        wp = min(stack.shape[2], w + pad)   # real right overhang cols
+        # pad columns only (real overhang where present); rows are
+        # extended via halo exchange + last-device bottom injection
         stack_pad_cols = jnp.pad(
-            stack, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+            jnp.asarray(stack[:, :h, :wp]),
+            ((0, 0), (0, 0), (pad, pad - (wp - w)), (0, 0)))
+        bottom = np.zeros(
+            (stack.shape[0], pad, w + 2 * pad) + stack.shape[3:],
+            stack.dtype)
+        if pad and hp > h:
+            bottom[:, :hp - h, pad:pad + wp] = stack[:, h:hp, :wp]
         rows_local = grid.rows // n_sp
 
         spec_in = P(DATA_AXIS, SPATIAL_AXIS, None, None)
+        spec_bot = P(DATA_AXIS, None, None, None)
         spec_out = P(DATA_AXIS, SPATIAL_AXIS, None)
         key = (mesh, "scenes", stack.shape[0] // n_dp, rows_local,
                grid.cols, pad)
         fn_jit = self._sharded_cache.get(key)
         if fn_jit is None:
-            def body(variables, local):
+            def body(variables, local, bottom_local):
                 # local: (S/n_dp, h/n_sp, w + 2*pad, C)
                 ext = exchange_row_halo(local, pad, SPATIAL_AXIS, axis=1)
+                if pad:
+                    last = jax.lax.axis_index(SPATIAL_AXIS) == n_sp - 1
+                    ext = ext.at[:, -pad:].set(
+                        jnp.where(last, bottom_local, ext[:, -pad:]))
                 return jax.vmap(
                     lambda sc: self._run_scene(
                         variables, sc, rows_local, grid.cols))(ext)
 
             fn_jit = jax.jit(shard_map(
-                body, mesh=mesh, in_specs=(P(), spec_in),
+                body, mesh=mesh, in_specs=(P(), spec_in, spec_bot),
                 out_specs=spec_out, check_rep=False))
             self._sharded_cache[key] = fn_jit
         x = jax.device_put(stack_pad_cols, NamedSharding(mesh, spec_in))
+        b = jax.device_put(jnp.asarray(bottom),
+                           NamedSharding(mesh, spec_bot))
         variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
-        return fn_jit(variables, x)
+        return fn_jit(variables, x, b)
 
     # -- exports ----------------------------------------------------------------
     def export_patches(self, labels: jnp.ndarray, out_dir,

@@ -128,6 +128,9 @@ class Trainer:
         self.mesh = mesh
         self.log = log
 
+        if config.grad_accum < 1:
+            raise ValueError(
+                f"grad_accum={config.grad_accum} must be >= 1")
         update_stats = config.bn_exact_stats
         self.train_step = make_train_step(
             loss_fn, spec.requires_context, update_stats,
@@ -180,6 +183,16 @@ class Trainer:
         self.last_epoch = int(meta.get("epoch", -1)) + 1
         if meta.get("batch_size"):
             self.config.batch_size = int(meta["batch_size"])
+            if self.config.grad_accum > 1 and \
+                    self.config.batch_size % self.config.grad_accum:
+                # the override would silently route EVERY batch to the
+                # unsplit fallback step, defeating the memory headroom
+                # grad_accum was configured for — say so loudly
+                self.log(
+                    f"WARNING: checkpoint batch_size "
+                    f"{self.config.batch_size} is not divisible by "
+                    f"grad_accum={self.config.grad_accum}; batches will "
+                    "run UNSPLIT (full-batch activation memory)")
         self.log(f"Resumed from {path} at epoch {self.last_epoch} "
                  f"(batch_size={self.config.batch_size})")
 

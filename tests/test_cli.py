@@ -423,6 +423,93 @@ def test_serve_cli_batch_poison_isolation(trained_ckpt, tmp_path,
     assert n == 3 - bad
 
 
+def test_serve_cli_same_stem_masks_disambiguated(trained_ckpt, tmp_path):
+    """a.png and a.tif both arrive: two distinct masks, not a silent
+    overwrite of a_mask.png; the journal records each mask name and a
+    restarted daemon honors prior claims."""
+    import json
+
+    from PIL import Image
+
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(12)
+    img_a = rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3), np.uint8)
+    img_b = rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3), np.uint8)
+    Image.fromarray(img_a).save(watch / "a.png")
+    Image.fromarray(img_b).save(watch / "a.tif")
+    out = tmp_path / "srv"
+    cfg = dict(watch_dir=str(watch), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=1,
+               load_checkpoint=str(trained_ckpt), output=str(out))
+    assert serve_cli.serve(cfg) == 2
+    entries = {json.loads(l)["name"]: json.loads(l) for l in
+               (out / "manifest.jsonl").read_text().splitlines()}
+    masks = {entries["a.png"]["mask"], entries["a.tif"]["mask"]}
+    assert len(masks) == 2
+    for m in masks:
+        assert (out / m).exists()
+    # restart with a same-stem newcomer: the prior claim survives the
+    # journal round-trip, so the new source gets the suffixed name
+    Image.fromarray(img_a).save(watch / "b.png")
+    Image.fromarray(img_b).save(watch / "b.tiff")
+    assert serve_cli.serve(cfg) == 2
+    entries = {json.loads(l)["name"]: json.loads(l) for l in
+               (out / "manifest.jsonl").read_text().splitlines()}
+    assert entries["b.png"]["mask"] != entries["b.tiff"]["mask"]
+
+
+def test_serve_cli_midcopy_retries_reset(trained_ckpt, tmp_path,
+                                         monkeypatch):
+    """A raster still being copied in keeps failing to decode, but its
+    (size, mtime) keeps changing — the retry counter must reset on
+    change so the daemon never blacklists a slow arrival (it only gives
+    up after max_retries failures on an UNCHANGED file)."""
+    import json
+
+    from PIL import Image
+
+    from cvcs_tpu.cli import serve as serve_cli
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3), np.uint8)
+    full = tmp_path / "full.png"
+    Image.fromarray(img).save(full)
+    data = full.read_bytes()
+    target = watch / "slow.png"
+    target.write_bytes(data[:100])            # copy in progress
+
+    stage = iter([data[:200], data])          # still copying, then done
+
+    real_sleep = serve_cli.time.sleep
+
+    def copy_more(_s):
+        try:
+            target.write_bytes(next(stage))
+        except StopIteration:
+            pass
+        real_sleep(0)
+
+    monkeypatch.setattr(serve_cli.time, "sleep", copy_more)
+    out = tmp_path / "srv"
+    # max_retries=2: two failures on an UNCHANGED file would give up —
+    # the copy-in-progress file fails on polls 1 AND 2 but changed in
+    # between, so the counter resets and poll 3 serves it
+    cfg = dict(watch_dir=str(watch), net="Unet", patch_size=PATCH,
+               num_classes=15, precision="f32", poll_s=0.0, max_polls=3,
+               max_retries=2, load_checkpoint=str(trained_ckpt),
+               output=str(out))
+    assert serve_cli.serve(cfg) == 1
+    entries = {json.loads(l)["name"]: json.loads(l) for l in
+               (out / "manifest.jsonl").read_text().splitlines()}
+    assert "error" not in entries["slow.png"]
+    assert (out / "slow_mask.png").exists()
+
+
 def test_esa_cli_mesh(trained_ckpt, tmp_path):
     """`mesh` in an esa config: same-shape raster groups run
     scene-parallel over the data axis (remainder through the per-raster

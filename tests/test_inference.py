@@ -325,3 +325,68 @@ def test_fullconv_zoo(name):
     want = np.asarray(jnp.argmax(logits, axis=-1))[0][halo:-halo,
                                                       halo:-halo]
     np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def blur_apply(variables, x, context=None, train=False):
+    """Fake model whose output depends on a 3x3 neighborhood (zero-padded
+    inside the window): makes the CONTENT of border-window context —
+    e.g. the raster's real overhang past the tile grid — observable in
+    the labels, which identity_apply's pointwise read cannot."""
+    s = x[..., 0].astype(jnp.float32)
+    acc = jnp.zeros_like(s)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = acc + jnp.roll(s, (dy, dx), axis=(-2, -1))
+    lab = jnp.clip(jnp.round(acc / 9.0), 0, NUM_CLASSES - 1)
+    return jax.nn.one_hot(lab.astype(jnp.int32), NUM_CLASSES)
+
+
+def test_sharded_overhang_matches_single_device():
+    """Real GID15 rasters are NOT tile-grid aligned (6800x7200 vs a
+    6720x7168 grid at p224): the single-device window path reads the
+    raster's bottom/right overhang as real context for edge tiles'
+    border windows. The sharded paths must agree bit-exactly there too
+    (right overhang rides in the column padding, bottom overhang is
+    injected into the last spatial device's lower halo)."""
+    h, w = 128 + 8, 64 + 8          # 8 extra rows/cols = the full margin
+    scene, _ = _scene(h=h, w=w, seed=30)
+    cfg = InferenceConfig(patch_size=P, border_correction=BC,
+                          batch_tiles=4, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(blur_apply, {}, cfg)
+    single = np.asarray(seg.predict_scene(scene))
+    # guard against a vacuous test: the overhang must actually change
+    # the edge-tile labels, else any implementation would pass
+    cropped = np.asarray(seg.predict_scene(scene[:128, :64]))
+    assert not np.array_equal(single, cropped)
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    sharded = np.asarray(seg.predict_scene_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_scenes_sharded_overhang_matches_single_device():
+    scenes = [(_scene(h=128 + 8, w=64 + 8, seed=40 + i))[0]
+              for i in range(4)]
+    cfg = InferenceConfig(patch_size=P, border_correction=BC,
+                          batch_tiles=4, num_classes=NUM_CLASSES)
+    seg = SceneSegmenter(blur_apply, {}, cfg)
+    single = np.stack([np.asarray(seg.predict_scene(s)) for s in scenes])
+    mesh = create_mesh(MeshConfig(data=2, spatial=4))
+    out = np.asarray(seg.predict_scenes_sharded(scenes, mesh))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_fullconv_rejects_tta():
+    """The fullconv paths don't implement the window path's dihedral TTA
+    averaging — the combination must fail loudly, not silently return
+    non-TTA predictions labeled as a TTA run."""
+    scene, _ = _scene(seed=31)
+    cfg = InferenceConfig(patch_size=P, border_correction=BC,
+                          batch_tiles=4, num_classes=NUM_CLASSES, tta=True)
+    seg = SceneSegmenter(identity_apply, {}, cfg)
+    with pytest.raises(ValueError, match="fullconv"):
+        seg.predict_scene_fullconv(scene, band_rows=2)
+    with pytest.raises(ValueError, match="fullconv"):
+        seg.pad_scene_fullconv(scene)
+    with pytest.raises(ValueError, match="fullconv"):
+        seg.predict_scene_fullconv_sharded(
+            scene, create_mesh(MeshConfig(data=1, spatial=8)))
