@@ -70,3 +70,37 @@ def test_trainer_steps_per_call(gid15_root, tmp_path):
     # 4 scenes x 12 tiles = 48 patches -> 24 micro-batches of 2; all seen
     assert len(trainer.training_loss_values) == 24
     assert all(np.isfinite(v) for v in trainer.training_loss_values)
+
+
+def test_multi_step_with_grad_accum_equals_single_accum_steps():
+    """steps_per_call x grad_accum compose: a K-step scan whose body
+    itself scans accumulation micro-batches must match K sequential
+    accumulated single steps."""
+    model, spec, optimizer, state_a = _state()
+    _, _, _, state_b = _state()
+    loss_fn = build_loss("CEL")
+    single = make_train_step(loss_fn, accum=2)
+    multi = make_multi_train_step(loss_fn, accum=2)
+
+    rng = np.random.default_rng(3)
+    k, bs = 3, 4
+    images = jnp.asarray(
+        rng.integers(0, 256, (k, bs, PATCH, PATCH, 3), np.uint8))
+    masks = jnp.asarray(rng.integers(0, 16, (k, bs, PATCH, PATCH), np.int32))
+    ctx = jnp.zeros((k, 1), jnp.uint8)
+    lr = jnp.float32(1e-2)
+    key = jax.random.key(8)
+
+    losses_a = []
+    for i in range(k):
+        state_a, loss = single(state_a, images[i], masks[i], ctx[i], lr, key)
+        losses_a.append(float(loss))
+    state_b, losses_b = multi(state_b, images, masks, ctx, lr, key)
+    np.testing.assert_allclose(np.asarray(losses_b), np.asarray(losses_a),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        (state_a.params, state_a.batch_stats)),
+                    jax.tree_util.tree_leaves(
+                        (state_b.params, state_b.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=3e-5)
