@@ -144,7 +144,7 @@ def bench_infer(scene_h: int = 6800, scene_w: int = 7200) -> float:
     seg = SceneSegmenter(
         model.apply, variables,
         InferenceConfig(patch_size=PATCH, border_correction=256,
-                        batch_tiles=64, num_classes=16),
+                        batch_tiles=128, num_classes=16),
         returns_logits=spec.returns_logits)
     rng = np.random.default_rng(1)
     scene = rng.integers(0, 256, (scene_h, scene_w, 3), np.uint8)

@@ -43,7 +43,7 @@ def predict(config: dict) -> None:
     infer_cfg = InferenceConfig(
         patch_size=p,
         border_correction=config.get("border_correction"),
-        batch_tiles=int(config.get("batch_tiles", 64)),
+        batch_tiles=int(config.get("batch_tiles", 128)),
         num_classes=num_classes,
         bug_parity=bool(config.get("bug_parity")),
         # reference default: 3-panel figures (`inference.py:36`)

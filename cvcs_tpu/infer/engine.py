@@ -62,10 +62,11 @@ class InferenceConfig:
 
     patch_size: int = 224
     border_correction: int | None = 256   # None -> raw p x p forwards
-    # windows per forward; 64 measured fastest at GID15 scene scale on
-    # v5e (212.4 vs 198.4 tiles512/s at 16), tail batches wrap so small
-    # scenes are unaffected
-    batch_tiles: int = 64
+    # windows per forward; 128 measured fastest at GID15 scene scale on
+    # v5e — same-session curve 16/64/96/128/192 = 198/212/241/253/242
+    # tiles512/s (round 3); tail batches wrap so small scenes are
+    # unaffected
+    batch_tiles: int = 128
     num_classes: int = 16
     bug_parity: bool = False              # reference's anchored windows
     # bare color PNG vs 3-panel figure; reference default is False
