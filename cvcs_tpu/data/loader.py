@@ -199,9 +199,14 @@ class ChunkLoader:
 
     # -- chunk materialization ---------------------------------------------
     def _pad(self) -> int:
+        # paddings ADD when both features are on: a shifted tile sits up
+        # to SHIFT_OFFSET outside the grid, and its context window
+        # reaches another patch_size beyond that — max() of the two
+        # would let edge-tile context windows clamp inside
+        # lax.dynamic_slice and silently misalign
         pad = self.patch_size if self.load_context else 0
         if self.random_shift:
-            pad = max(pad, SHIFT_OFFSET + 12)
+            pad += SHIFT_OFFSET + 12
         return pad
 
     def _load_scene_stack(self, scene_ids: list[int], pad: int):
@@ -282,7 +287,16 @@ class ChunkLoader:
                 n_extra = int(pct * n_tiles)
                 if n_extra == 0:
                     continue
+                if aug_size >= min(h, w):
+                    # the reference dies the same way (randint(0, <0),
+                    # `dataset.py:180-181`) — fail with a clear message
+                    raise ValueError(
+                        f"random_tps size {aug_size} must be smaller "
+                        f"than the scene ({h}x{w})")
                 sc = self.rng.integers(0, n_scenes, size=(n_extra, 1))
+                # origin range [0, h-1-aug_size] — exactly the
+                # reference's `random.randint(0, h-1-aug_size)`
+                # (`dataset.py:180-181`, inclusive)
                 ys = self.rng.integers(0, h - aug_size, size=(n_extra, 1))
                 xs = self.rng.integers(0, w - aug_size, size=(n_extra, 1))
                 tcoords = np.concatenate([sc, ys + pad, xs + pad], axis=1)
@@ -292,6 +306,10 @@ class ChunkLoader:
                 patch_imgs = jnp.concatenate([patch_imgs, timg])
                 patch_msks = jnp.concatenate([patch_msks, tmsk])
                 if self.load_context:
+                    # the reference computes tps context with the FIXED
+                    # patch-size window at the crop origin, NOT a
+                    # 3*aug_size surround (`dataset.py:192` passes
+                    # self.p) — geometric inconsistency kept as parity
                     tctx = extract.extract_context(images, tcoords, p)
                     contexts = jnp.concatenate([contexts, tctx])
 

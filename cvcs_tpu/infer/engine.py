@@ -99,6 +99,22 @@ class SceneSegmenter:
                 "tta averages logits over the dihedral flips — a "
                 "label-output net (e.g. Ensemble) has no logits to "
                 "average; drop 'tta' or apply it per member instead")
+        if requires_context:
+            # every forward here passes context=None: no reference zoo
+            # model consumes context at inference (`nets.py:96` takes and
+            # ignores it), and the engine has no per-window context
+            # plumbing — refuse rather than silently segment a future
+            # context net without its second input
+            raise ValueError(
+                "the scene engine does not extract per-window contexts; "
+                "requires_context models are unsupported here (no "
+                "reference zoo model consumes context at inference)")
+        bc = config.border_correction
+        if bc is not None and bc < config.patch_size:
+            raise ValueError(
+                f"border_correction={bc} must be >= "
+                f"patch_size={config.patch_size} (the window is a "
+                "superset of the tile)")
         self.palette = GID15Palette()
         # variables are a traced argument (not baked constants); apply_fn
         # and the geometry are static via closure.
@@ -251,9 +267,13 @@ class SceneSegmenter:
     def predict_tiles(self, scene, tile_ids) -> jnp.ndarray:
         """Labels for a list of row-major local tile indices of one scene:
         (len(tile_ids), p, p) int32, computing only those windows."""
+        ids_np = np.asarray(tile_ids, np.int32)
+        if ids_np.size == 0:
+            p = self.cfg.patch_size
+            return jnp.zeros((0, p, p), jnp.int32)
         scene_pad, _, cols = self.pad_scene(scene)
-        ids = jnp.asarray(np.asarray(tile_ids, np.int32))
-        return self._run_tiles_jit(self.variables, scene_pad, ids, cols)
+        return self._run_tiles_jit(self.variables, scene_pad,
+                                   jnp.asarray(ids_np), cols)
 
     # -- multi-scene batched path ------------------------------------------
     def _run_scenes(self, variables, scenes_pad: jnp.ndarray, rows: int,
@@ -339,6 +359,10 @@ class SceneSegmenter:
         bc, _ = self._window()
         pad = bc - p
         grid = TileGrid((scene.shape[0], scene.shape[1]), p)
+        if grid.rows == 0 or grid.cols == 0:
+            raise ValueError(
+                f"scene {tuple(scene.shape[:2])} is smaller than one "
+                f"{p}x{p} patch — nothing to segment")
         scene = jnp.asarray(scene)
         scene_pad = jnp.pad(scene, ((pad, pad), (pad, pad), (0, 0)))
         return scene_pad, grid.rows, grid.cols

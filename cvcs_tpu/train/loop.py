@@ -127,6 +127,7 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.log = log
+        self._loss_fn = loss_fn   # resume() may need to rebuild steps
 
         if config.grad_accum < 1:
             raise ValueError(
@@ -185,14 +186,22 @@ class Trainer:
             self.config.batch_size = int(meta["batch_size"])
             if self.config.grad_accum > 1 and \
                     self.config.batch_size % self.config.grad_accum:
-                # the override would silently route EVERY batch to the
-                # unsplit fallback step, defeating the memory headroom
-                # grad_accum was configured for — say so loudly
+                # the override would route full batches to the unsplit
+                # fallback AND crash the stacked multi-step path at trace
+                # time (its scan body has no fallback) — disable
+                # accumulation coherently and say so loudly
                 self.log(
                     f"WARNING: checkpoint batch_size "
                     f"{self.config.batch_size} is not divisible by "
-                    f"grad_accum={self.config.grad_accum}; batches will "
-                    "run UNSPLIT (full-batch activation memory)")
+                    f"grad_accum={self.config.grad_accum}; DISABLING "
+                    "gradient accumulation (full-batch activation "
+                    "memory — lower batch_size if this OOMs)")
+                self.config.grad_accum = 1
+                self.train_step = self.plain_step
+                if self.multi_step is not None:
+                    self.multi_step = make_multi_train_step(
+                        self._loss_fn, self.spec.requires_context,
+                        self.config.bn_exact_stats)
         self.log(f"Resumed from {path} at epoch {self.last_epoch} "
                  f"(batch_size={self.config.batch_size})")
 
@@ -250,6 +259,7 @@ class Trainer:
             lr = self.optimizer.lr_for_epoch(epoch)
             self.train_loader.shuffle()
             n_patches = 0
+            n_train_before = len(self.training_loss_values)
             # Losses are harvested one chunk LATE: chunk c+1's host decode
             # + device upload runs while chunk c's steps are still
             # executing (dispatch is async; the device_get below is the
@@ -284,6 +294,17 @@ class Trainer:
                     k = cfg.steps_per_call
                     for images, masks, ctxs, n_micro in \
                             chunk.stacked_batches(bs, k):
+                        if cfg.debug_plot and tail_start == 0:
+                            # first-sample-per-chunk debug contract
+                            # (`train.py:119`): the stacked path consumes
+                            # batch 0, so the single-step dump below
+                            # never sees it
+                            from cvcs_tpu.utils.debug import debug_plot
+                            debug_plot(
+                                cfg.debug_dir, epoch, c, 0, images[0],
+                                masks[0],
+                                ctxs[0] if self.spec.requires_context
+                                else None)
                         images, masks, ctxs = self._shard(
                             images, masks, ctxs, batch_axis=1)
                         self.state, losses = self.multi_step(
@@ -372,10 +393,14 @@ class Trainer:
                     f.write(json.dumps({
                         "epoch": epoch + 1,
                         "lr": lr,
+                        # mean over THIS epoch's entries (counting by
+                        # n_patches // bs undercounts whenever chunks end
+                        # in partial tail batches)
                         "train_loss": (
-                            float(np.mean(self.training_loss_values[-max(
-                                n_patches // max(bs, 1), 1):]))
-                            if self.training_loss_values else None),
+                            float(np.mean(
+                                self.training_loss_values[n_train_before:]))
+                            if len(self.training_loss_values) > n_train_before
+                            else None),
                         "val_loss": (
                             float(np.mean(
                                 self.validation_loss_values[n_val_before:]))

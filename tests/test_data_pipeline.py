@@ -152,3 +152,39 @@ def test_strict_patch_sizes_ctor(gid15_root):
     with pytest.raises(ValueError):
         ChunkLoader(str(gid15_root), chunk_size=2, patch_size=32,
                     strict_patch_sizes=True)
+
+
+def test_shift_plus_context_padding_is_additive(gid15_root, monkeypatch):
+    """random_shift + load_context: the scene padding must cover a
+    SHIFTED tile's context window (patch_size + SHIFT_OFFSET beyond the
+    grid). max() of the two paddings let edge-tile context windows clamp
+    inside lax.dynamic_slice and silently misalign (round-3 review
+    finding); every slice must stay in range, never clamp."""
+    from cvcs_tpu.data import extract
+    from cvcs_tpu.data.loader import SHIFT_OFFSET, ChunkLoader
+
+    p = 32
+    loader = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=p,
+                         random_shift=True, load_context=True, seed=0)
+    assert loader._pad() == p + SHIFT_OFFSET + 12
+
+    real = extract.extract_context
+    seen = []
+
+    def checked(scenes, coords, patch_size):
+        c = np.asarray(coords)
+        h, w = scenes.shape[1], scenes.shape[2]
+        # window [y-p, y+2p) x [x-p, x+2p) must be inside the padded scene
+        assert (c[:, 1] - patch_size >= 0).all()
+        assert (c[:, 2] - patch_size >= 0).all()
+        assert (c[:, 1] + 2 * patch_size <= h).all()
+        assert (c[:, 2] + 2 * patch_size <= w).all()
+        seen.append(len(c))
+        return real(scenes, coords, patch_size)
+
+    monkeypatch.setattr(extract, "extract_context", checked)
+    # draw several shuffles so shifts hit both extremes
+    for c in range(len(loader)):
+        chunk = loader.get_chunk(c)
+        assert chunk.contexts is not None
+    assert seen

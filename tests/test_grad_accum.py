@@ -164,3 +164,39 @@ def test_accum_rejects_indivisible_batch():
         assert "grad_accum" in str(e)
     else:
         raise AssertionError("indivisible batch must raise")
+
+
+def test_resume_batch_override_disables_accum(gid15_root, tmp_path):
+    """Quirk-5 resume overrides batch_size from the checkpoint; when the
+    override breaks grad_accum divisibility, accumulation must be
+    disabled coherently (the stacked multi-step scan has no per-batch
+    fallback and would crash at trace time) and training must proceed."""
+    from cvcs_tpu.data.loader import ChunkLoader
+    from cvcs_tpu.train import TrainConfig, Trainer
+    from cvcs_tpu.train import checkpoint as ckpt_lib
+
+    loader = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=PATCH,
+                         load_context=False, seed=0)
+    val = ChunkLoader(str(gid15_root), chunk_size=2, patch_size=PATCH,
+                      load_context=False, seed=1)
+    loader.specify([0, 1])
+    val.specify([0, 1])
+    model, spec = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((4, PATCH, PATCH, 3), jnp.uint8))
+    # checkpoint carries batch_size=5, indivisible by grad_accum=2
+    ckpt_lib.save_checkpoint(str(tmp_path), -1, state, [], [], 5, "SGD2")
+    cfg = TrainConfig(epochs=1, batch_size=4, grad_accum=2,
+                      steps_per_call=2,
+                      checkpoint_directory=str(tmp_path), freq=5,
+                      precision_evaluation_freq=5, num_classes=15)
+    logs = []
+    trainer = Trainer(model, spec, state, optimizer, build_loss("CEL"),
+                      loader, val, cfg, log=logs.append)
+    trainer.resume(str(tmp_path / "checkpoint0"))
+    assert trainer.config.batch_size == 5
+    assert trainer.config.grad_accum == 1
+    assert any("DISABLING" in s for s in logs)
+    trainer.train()   # crashes at trace time without the rebuild
+    assert np.isfinite(trainer.training_loss_values).all()

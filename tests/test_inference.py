@@ -390,3 +390,22 @@ def test_fullconv_rejects_tta():
     with pytest.raises(ValueError, match="fullconv"):
         seg.predict_scene_fullconv_sharded(
             scene, create_mesh(MeshConfig(data=1, spatial=8)))
+
+
+def test_engine_guards():
+    """Clear errors instead of ZeroDivision/negative-pad crashes: scenes
+    smaller than a patch, bc < p, and context-requiring models; empty
+    tile lists return an empty batch."""
+    seg = _segmenter()
+    with pytest.raises(ValueError, match="smaller than one"):
+        seg.predict_scene(np.zeros((P - 1, P * 2, 3), np.uint8))
+    out = seg.predict_tiles(np.zeros((P * 2, P * 2, 3), np.uint8), [])
+    assert out.shape == (0, P, P)
+    with pytest.raises(ValueError, match="border_correction"):
+        SceneSegmenter(identity_apply, {}, InferenceConfig(
+            patch_size=P, border_correction=P - 2, batch_tiles=2,
+            num_classes=NUM_CLASSES))
+    with pytest.raises(ValueError, match="context"):
+        SceneSegmenter(identity_apply, {}, InferenceConfig(
+            patch_size=P, border_correction=BC, batch_tiles=2,
+            num_classes=NUM_CLASSES), requires_context=True)
