@@ -529,13 +529,7 @@ class SceneSegmenter:
         band = lax.dynamic_slice(
             padded, (r0, 0, 0),
             (band_h, padded.shape[1], padded.shape[2]))
-        x = band.astype(jnp.float32)[None]
-        out = self.apply_fn(variables, x, context=None, train=False)
-        if self.returns_logits:
-            out = jnp.argmax(out, axis=-1)
-        lab = lax.dynamic_slice(
-            out.astype(jnp.uint8), (0, halo, halo), (1, out_h, out_w))
-        return lab[0]
+        return self._fullconv_forward(variables, band, out_h, out_w, halo)
 
     def _fullconv_band_chunked(self, variables, padded, r0, chunk_h: int,
                                chunk_w: int, n_rows: int, n_cols: int,
