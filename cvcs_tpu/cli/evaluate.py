@@ -25,6 +25,7 @@ def evaluate(config: dict) -> dict:
         config["dataset"], chunk_size=1,
         patch_size=config["patch_size"],
         load_context=bool(config.get("load_context")),
+        in_channels=int(config.get("in_channels", 3)),
         seed=0)
     if config.get("images"):
         loader.specify(config["images"])
@@ -39,39 +40,29 @@ def evaluate(config: dict) -> dict:
     # `utils.py:59-103` — its worst hot spot).
     mesh = common.mesh_from_config(config)
 
-    # In both paths the restored weights ride as traced jit ARGUMENTS:
-    # closing them over would bake every parameter into the HLO as a
-    # constant (bloats the program — the tunnel's remote compiler rejects
-    # a 3-member ensemble at 413 — and defeats donation/sharing).
+    # One shared construction path with predict/esa/serve
+    # (common.build_apply dispatches "Ensemble" like the reference's
+    # `load_network`, `utils.py:174-195`). The restored weights ride as
+    # traced jit ARGUMENTS: closing them over would bake every parameter
+    # into the HLO as a constant (bloats the program — the tunnel's
+    # remote compiler rejects a 3-member ensemble at 413 — and defeats
+    # donation/sharing).
     import jax
 
-    if config["net"] == "Ensemble":
-        ens = common.build_ensemble(config, config["patch_size"])
+    apply_fn, variables, _, returns_logits, _ = common.build_apply(
+        config, config["patch_size"])
+    if mesh is not None:
+        variables = mesh_lib.replicate(variables, mesh)
 
-        # the whole member-forwards + one-hot vote jits into one program
-        vote = jax.jit(
-            lambda mvars, image, context: ens.vote(
-                mvars, image.astype(jnp.float32), context))
-        mvars = ens.member_variables
-        if mesh is not None:
-            mvars = mesh_lib.replicate(mvars, mesh)
-        predict = lambda image, context: vote(mvars, image, context)
-    else:
-        model, spec, _ = common.build_net(config)
-        variables = common.restore_variables(config, model,
-                                             config["patch_size"])
-        if mesh is not None:
-            variables = mesh_lib.replicate(variables, mesh)
+    @jax.jit
+    def _predict(variables, image, context):
+        out = apply_fn(variables, image.astype(jnp.float32),
+                       context=context, train=False)
+        if returns_logits:
+            out = jnp.argmax(out, axis=-1)
+        return out.astype(jnp.int32)
 
-        @jax.jit
-        def _predict(variables, image, context):
-            out = model.apply(variables, image.astype(jnp.float32),
-                              context=context, train=False)
-            if spec.returns_logits:
-                out = jnp.argmax(out, axis=-1)
-            return out.astype(jnp.int32)
-
-        predict = lambda image, context: _predict(variables, image, context)
+    predict = lambda image, context: _predict(variables, image, context)
 
     host = conf_lib.HostConfusion(num_classes)
     for c in range(len(loader)):

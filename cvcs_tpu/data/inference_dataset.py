@@ -59,8 +59,15 @@ class InferenceDataset:
         windows read zeros out of bounds."""
         if self._cache_idx != scene_idx:
             p = self.patch_size
-            pad = max(p, (self.border_correction or p) - p,
-                      self.shift_offset)
+            # margins ADD under random_shift: a shifted tile sits up to
+            # shift_offset outside the grid and its context window (p) or
+            # border window (bc-p) reaches beyond THAT — max() would let
+            # corner-tile context slices go negative (empty numpy slice →
+            # ZeroDivisionError in the resize) or silently truncate.
+            # Same additive rule as ChunkLoader._pad.
+            pad = max(p, (self.border_correction or p) - p)
+            if self.random_shift:
+                pad += self.shift_offset
             img = np.pad(self.scenes.load_image(scene_idx),
                          ((pad, pad), (pad, pad), (0, 0)))
             msk = np.pad(self.scenes.load_index_mask(scene_idx),

@@ -110,7 +110,12 @@ def save_checkpoint(
         "macro_precision": [],
         "weighted_precision": [],
     }
-    (path / "meta.json").write_text(json.dumps(meta))
+    # atomic: a crash mid-write must not leave a truncated meta.json next
+    # to a finalized state/ — latest_checkpoint would select it and every
+    # `load_checkpoint: auto` restart would die parsing it
+    tmp = path / "meta.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    tmp.replace(path / "meta.json")
     return path
 
 
@@ -145,7 +150,17 @@ def load_checkpoint(path: str | Path, state):
     ]
     restored = jax.tree_util.tree_unflatten(treedef, placed)
     meta_path = path / "meta.json"
-    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    meta = {}
+    if meta_path.exists():
+        try:
+            meta = json.loads(meta_path.read_text())
+        except json.JSONDecodeError:
+            # pre-atomic-write checkpoints could carry a torn meta.json;
+            # degrade like the reference does for old checkpoints
+            # (`train.py:82-85`): weights restore, histories reset
+            print(f"WARNING: {meta_path} is corrupt — restoring weights "
+                  "with empty metadata (epoch/histories reset)",
+                  flush=True)
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

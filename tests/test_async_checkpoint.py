@@ -72,3 +72,24 @@ def test_latest_checkpoint_skips_unfinalized(tmp_path):
     (broken / "meta.json").write_text("{}")
     got = ckpt_lib.latest_checkpoint(tmp_path)
     assert got is not None and got.name == "checkpoint1"
+
+
+def test_meta_write_is_atomic_and_torn_meta_degrades(tmp_path):
+    """meta.json lands via tmp+rename (a crash mid-write can't leave a
+    truncated file next to a finalized state/), and a torn meta from an
+    older checkpoint degrades to empty metadata instead of killing every
+    `load_checkpoint: auto` restart."""
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD2")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, PATCH, PATCH, 3), jnp.uint8))
+    path = ckpt_lib.save_checkpoint(tmp_path, 0, state, [1.0], [2.0], 4,
+                                    "SGD2")
+    assert not (path / "meta.json.tmp").exists()
+    # simulate a pre-atomic torn write
+    (path / "meta.json").write_text('{"epoch": 0, "batch_si')
+    restored, meta = ckpt_lib.load_checkpoint(path, state)
+    assert meta == {}
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,3 +88,19 @@ def test_context_resize_matches_training_path(gid15_root):
     ctx_train = np.asarray(extract_context(jnp.asarray(stack), coords,
                                            PATCH))[0]
     np.testing.assert_array_equal(ctx_tool, ctx_train)
+
+
+def test_shift_plus_context_every_tile_well_formed(gid15_root):
+    """random_shift + load_context: padding must ADD the shift margin —
+    max() under-padded the scene, so shifted corner tiles produced empty
+    context slices (ZeroDivisionError in the resize) and edge tiles
+    silently truncated/misaligned ones (round-3 review finding). Every
+    tile of every scene must yield full-shape patch AND context."""
+    ds = InferenceDataset(str(gid15_root), patch_size=PATCH,
+                          border_correction=PATCH + 16,
+                          random_shift=True, load_context=True, seed=0)
+    for i in range(len(ds)):
+        patch, mask, context, padded = ds[i]
+        assert patch.shape == (PATCH, PATCH, 3), i
+        assert context.shape == (PATCH, PATCH, 3), i
+        assert padded.shape == (PATCH + 16, PATCH + 16, 3), i

@@ -87,3 +87,23 @@ def test_eval_predict_restore_4band(gid4band_root, tmp_path):
     kernels = [l for l in jax.tree_util.tree_leaves(variables["params"])
                if getattr(l, "ndim", 0) == 4]
     assert any(k.shape[2] == 4 for k in kernels)  # a conv consumes 4 bands
+
+
+def test_evaluate_cli_4band_end_to_end(gid4band_root, tmp_path):
+    """The evaluate CLI must thread `in_channels` into its ChunkLoader —
+    it restored a 4-channel first conv but fed 3-band patches (round-3
+    review finding: shape-mismatch crash on any multispectral eval)."""
+    from cvcs_tpu.cli import evaluate as eval_cli
+    from cvcs_tpu.train import checkpoint as ckpt_lib
+
+    model, _ = build_model("Unet", 16, dtype=jnp.float32)
+    optimizer = build_optimizer("SGD1")
+    state = create_train_state(
+        model, optimizer, jnp.zeros((1, PATCH, PATCH, 4), jnp.uint8))
+    ckpt_lib.save_checkpoint(tmp_path, 0, state, [], [], 4, "SGD1")
+    cfg = dict(dataset=str(gid4band_root), net="Unet",
+               patch_size=PATCH, num_classes=15, in_channels=4,
+               precision="f32",
+               load_checkpoint=str(tmp_path / "checkpoint1"))
+    metrics = eval_cli.evaluate(cfg)
+    assert np.isfinite(metrics["oa_score"])
