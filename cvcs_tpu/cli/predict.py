@@ -58,7 +58,9 @@ def predict(config: dict) -> None:
         lb, ub = config["range"]
     else:
         lb, ub = 0, len(dataset) * tpi
-    scenes = sorted({i // tpi for i in range(lb, ub)})
+    # the range is one contiguous interval — derive the scene ids from
+    # its endpoints instead of iterating every patch index
+    scenes = list(range(lb // tpi, -(-ub // tpi))) if ub > lb else []
 
     out_dir = Path(config.get("output", "output"))
 
@@ -87,14 +89,22 @@ def predict(config: dict) -> None:
     # async; the export below is the only sync point). `staged` carries the
     # raw scene alongside the padded device copy for the figures branch.
     staged = None
+
+    def selected(s):
+        return [i - s * tpi for i in range(max(lb, s * tpi),
+                                           min(ub, (s + 1) * tpi))]
+
+    def few_patch(s):
+        # Few-patch economics (reference `inference.py:30-37` forwards
+        # only the selected patches): when the range covers a minority
+        # of the scene and no stitched map is requested, compute just
+        # those tiles.
+        return (len(selected(s)) * 4 <= tpi
+                and not config.get("out_image") and mesh is None)
+
     for idx, s in enumerate(scenes):
-        sel = [i - s * tpi for i in range(max(lb, s * tpi),
-                                          min(ub, (s + 1) * tpi))]
-        # Few-patch economics (reference `inference.py:30-37` forwards only
-        # the selected patches): when the range covers a minority of the
-        # scene and no stitched map is requested, compute just those tiles.
-        if (len(sel) * 4 <= tpi and not config.get("out_image")
-                and mesh is None):
+        sel = selected(s)
+        if few_patch(s):
             raw = dataset.load_image(s)
             tiles = seg.predict_tiles(raw, sel)
             global_ids = [s * tpi + t for t in sel]
@@ -157,7 +167,9 @@ def predict(config: dict) -> None:
                 staged = (seg.pad_scene(raw0), raw0)
             (padded, rows, cols), raw = staged
             labels = seg.predict_padded(padded, rows, cols)
-            if idx + 1 < len(scenes):
+            # don't prefetch a scene the few-patch branch will handle —
+            # it would decode it again and waste the whole-scene upload
+            if idx + 1 < len(scenes) and not few_patch(scenes[idx + 1]):
                 raw1 = dataset.load_image(scenes[idx + 1])
                 staged = ((seg.pad_scene(raw1)), raw1)
             else:

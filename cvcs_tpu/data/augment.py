@@ -49,9 +49,13 @@ def adjust_contrast(image: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     ITU-R 601 weights over the first 3 bands."""
     rgb = image[..., :3]
     gray = 0.2989 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-    mean = jnp.mean(jnp.round(gray))
+    # torchvision FLOORS the integer-image grayscale before the mean
+    # (v2 `grayscale_image.floor_()`; v1 truncates via .to(uint8)) and
+    # truncates the blended result back to uint8 — round() here diverged
+    # by up to one gray level per pixel
+    mean = jnp.mean(jnp.floor(gray))
     out = factor * image + (1.0 - factor) * mean
-    return jnp.clip(out, 0.0, 255.0)
+    return jnp.floor(jnp.clip(out, 0.0, 255.0))
 
 
 def gaussian_blur(image: jnp.ndarray, sigma: jnp.ndarray, kernel: int = 5) -> jnp.ndarray:

@@ -77,8 +77,13 @@ class EfficientAttention(nn.Module):
         if self.sr_ratio > 1:
             h, w = hw
             kv_in = x.reshape(b, h, w, c)
+            # HF's sr conv is Conv2d(k=sr, s=sr, padding=0): VALID. Flax's
+            # default SAME only coincides when the grid divides by sr —
+            # at non-divisible sizes SAME pads an extra K/V token row/col
+            # and imported pretrained weights silently diverge from HF
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
-                            strides=self.sr_ratio, **kw)(kv_in)
+                            strides=self.sr_ratio, padding="VALID",
+                            **kw)(kv_in)
             kv_in = kv_in.reshape(b, -1, self.dim)
             kv_in = nn.LayerNorm(dtype=self.dtype,
                                  param_dtype=self.param_dtype)(kv_in)

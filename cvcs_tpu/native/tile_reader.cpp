@@ -43,6 +43,23 @@ struct Image {
   bool ok = false;
 };
 
+// Supported = formats this decoder reads BYTE-IDENTICALLY to the PIL
+// fallback (`np.asarray(Image.open(p))`): 8-bit gray / gray+alpha /
+// RGB / RGBA, no palette, no tRNS. Palette PNGs decode to *indices* in
+// PIL but would need expansion here (and tr_png_info used to report the
+// pre-expansion channel count, so every palette load over-ran the
+// caller's buffer and silently killed the native tier); 16-bit PNGs
+// decode to >8-bit arrays in PIL. Both classes are REJECTED up front —
+// tr_png_info fails fast and callers fall back to PIL before wasting a
+// prefetch decode.
+bool png_supported(int bit_depth, int color_type, bool has_trns) {
+  if (bit_depth != 8 || has_trns) return false;
+  return color_type == PNG_COLOR_TYPE_GRAY ||
+         color_type == PNG_COLOR_TYPE_GRAY_ALPHA ||
+         color_type == PNG_COLOR_TYPE_RGB ||
+         color_type == PNG_COLOR_TYPE_RGB_ALPHA;
+}
+
 Image decode_png_file(const char* path) {
   Image img;
   FILE* fp = std::fopen(path, "rb");
@@ -62,12 +79,12 @@ Image decode_png_file(const char* path) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
-  // normalize to 8-bit, expand palettes, keep channel count otherwise
-  if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
-    png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (!png_supported(bit_depth, color_type,
+                     png_get_valid(png, info, PNG_INFO_tRNS) != 0)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return img;  // ok=false -> caller falls back to PIL
+  }
   png_read_update_info(png, info);
 
   const size_t rowbytes = png_get_rowbytes(png, info);
@@ -104,9 +121,20 @@ class Prefetcher {
       lk.unlock();
       return decode_png_file(path.c_str());  // cold miss: decode inline
     }
-    cv_done_.wait(lk, [&] { return cache_.count(path) > 0; });
-    Image img = std::move(cache_[path]);
-    cache_.erase(path);
+    // wait for "cached OR no longer pending": a concurrent take() of the
+    // same path can move+erase the entry first, and a cache_-only
+    // predicate would then block forever (ctypes releases the GIL here,
+    // so multi-threaded callers are real)
+    cv_done_.wait(lk, [&] {
+      return cache_.count(path) > 0 || pending_.count(path) == 0;
+    });
+    auto it = cache_.find(path);
+    if (it == cache_.end()) {
+      lk.unlock();
+      return decode_png_file(path.c_str());  // lost the race: decode inline
+    }
+    Image img = std::move(it->second);
+    cache_.erase(it);
     return img;
   }
 
@@ -270,8 +298,21 @@ int tr_png_info(const char* path, uint32_t* w, uint32_t* h, uint32_t* c) {
   }
   png_init_io(png, fp);
   png_read_info(png, info);
-  *w = png_get_image_width(png, info);
-  *h = png_get_image_height(png, info);
+  png_uint_32 iw, ih;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &iw, &ih, &bit_depth, &color_type, nullptr,
+               nullptr, nullptr);
+  // reject what decode_png_file rejects, so the reported channel count
+  // always matches the decode and unsupported files fall back to PIL
+  // BEFORE any buffer allocation or prefetch decode
+  if (!png_supported(bit_depth, color_type,
+                     png_get_valid(png, info, PNG_INFO_tRNS) != 0)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -1;
+  }
+  *w = iw;
+  *h = ih;
   *c = png_get_channels(png, info);
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);

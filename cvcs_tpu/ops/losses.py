@@ -37,7 +37,11 @@ def cross_entropy(
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     labels = labels.astype(jnp.int32)
-    valid = jnp.ones(labels.shape, jnp.float32)
+    # out-of-range labels (e.g. 255-coded void pixels) are EXCLUDED from
+    # the loss: torch raises "Target out of bounds" there, and the old
+    # clip-to-C-1 silently trained those pixels toward the last class —
+    # zero-weighting is the in-jit analogue of torch's loud failure
+    valid = ((labels >= 0) & (labels < num_classes)).astype(jnp.float32)
     if ignore_index is not None:
         valid = jnp.where(labels == ignore_index, 0.0, valid)
     safe_labels = jnp.clip(labels, 0, num_classes - 1)

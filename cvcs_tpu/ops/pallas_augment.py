@@ -93,8 +93,11 @@ def _augment_kernel(flips_ref, rots_ref, factors_ref,
     # grayscale mean over the first 3 bands, ITU-R 601 weights
     gray = (0.2989 * x[0] + 0.587 * x[1 % x.shape[0]]
             + 0.114 * x[2 % x.shape[0]])
-    mean_g = jnp.mean(jnp.round(gray))
-    x = jnp.clip(factor * x + (1.0 - factor) * mean_g, 0.0, 255.0)
+    # torchvision floors the integer grayscale before the mean and
+    # truncates the blend back to uint8 (see data/augment.py)
+    mean_g = jnp.mean(jnp.floor(gray))
+    x = jnp.floor(jnp.clip(factor * x + (1.0 - factor) * mean_g,
+                           0.0, 255.0))
 
     # -- per-band normalize -------------------------------------------------
     x = (x - mean_ref[:][:, :, None]) / std_ref[:][:, :, None]

@@ -96,37 +96,8 @@ def export_unet(variables: dict, upsample: str = "transpose") -> dict:
     ``upsample='transpose'`` exports the "Unetv2" layout (ConvTranspose
     decoder), ``'bilinear'`` the "Unet" layout.
     """
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    sd: dict[str, np.ndarray] = {}
-
-    def conv(path: tuple, name: str) -> None:
-        leaf = _get(params, path)
-        # flax (kh, kw, cin, cout) -> torch (cout, cin, kh, kw)
-        sd[f"{name}.weight"] = _f32(leaf["kernel"]).transpose(3, 2, 0, 1)
-        if "bias" in leaf:
-            sd[f"{name}.bias"] = _f32(leaf["bias"])
-
-    def convt(path: tuple, name: str) -> None:
-        leaf = _get(params, path)
-        # flax (kh, kw, cin, cout) -> torch ConvTranspose2d
-        # (cin, cout, kh, kw) with spatially flipped taps (inverse of
-        # torch_import.convt_w)
-        k = _f32(leaf["kernel"]).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
-        sd[f"{name}.weight"] = np.ascontiguousarray(k)
-        if "bias" in leaf:
-            sd[f"{name}.bias"] = _f32(leaf["bias"])
-
-    def bn(path: tuple, name: str) -> None:
-        leaf = _get(params, path)
-        st = _get(stats, path)
-        sd[f"{name}.weight"] = _f32(leaf["scale"])
-        sd[f"{name}.bias"] = _f32(leaf["bias"])
-        sd[f"{name}.running_mean"] = _f32(st["mean"])
-        sd[f"{name}.running_var"] = _f32(st["var"])
-        # torch BN state dicts carry this counter; 0 is what a freshly
-        # constructed module expects shape-wise
-        sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+    w = _SdWriter(variables)
+    sd, conv, convt, bn = w.sd, w.conv, w.convt, w.bn
 
     enc = ("_Encoder_0",)
     for level in range(5):

@@ -116,3 +116,50 @@ def test_scene_dataset_uses_native(lib, gid15_root):
     mask = ds.load_index_mask(0)
     pil_mask = np.asarray(Image.open(ds.index_mask_path(0)))
     np.testing.assert_array_equal(mask, pil_mask)
+
+
+def test_palette_png_falls_back_to_pil_consistently(lib, tmp_path):
+    """Palette PNGs decode to INDICES in the PIL fallback; the native
+    decoder used to report the pre-expansion channel count from
+    tr_png_info while decoding post-expansion RGB — every palette load
+    over-ran the buffer and silently disabled the native tier (round-3
+    review finding). Policy now: tr_png_info rejects unsupported formats
+    up front (no wasted prefetch decode) and the PIL fallback is the
+    single source of truth for them."""
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 4, (16, 16), np.uint8)
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette([v for i in range(4) for v in (i * 50, i * 60, i * 70)]
+                   + [0] * (256 - 4) * 3)
+    path = tmp_path / "pal.png"
+    img.save(path)
+    assert native.decode_png(path) is None          # clean fast rejection
+    native.prefetch(path)
+    assert native.take(path) is None                # prefetched path too
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(path)), idx)          # PIL yields indices
+
+
+def test_concurrent_take_same_path_no_deadlock(lib, tmp_path):
+    """Two threads taking the same prefetched path must both return (the
+    old cache-only wait predicate hung the loser forever once the winner
+    erased the cache entry)."""
+    import threading
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    path = _png(tmp_path, "race.png", arr)
+    native.prefetch(path)
+    results = [None, None]
+
+    def worker(i):
+        results[i] = native.take(path)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "take() deadlocked"
+    for r in results:
+        np.testing.assert_array_equal(r, arr)

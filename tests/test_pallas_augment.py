@@ -21,8 +21,10 @@ def _ref(images, flips, rots, factors, mean, std):
         x = np.rot90(x, k=int(rots[i]), axes=(0, 1))
         gray = (0.2989 * x[..., 0] + 0.587 * x[..., 1]
                 + 0.114 * x[..., 2])
-        m = np.round(gray).mean()
-        x = np.clip(factors[i] * x + (1 - factors[i]) * m, 0, 255)
+        # torchvision floors the integer grayscale before the mean and
+        # truncates the blend back to uint8 (data/augment.py)
+        m = np.floor(gray).mean()
+        x = np.floor(np.clip(factors[i] * x + (1 - factors[i]) * m, 0, 255))
         x = (x - mean) / std
         out.append(x)
     return np.stack(out)

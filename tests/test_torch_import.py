@@ -127,7 +127,13 @@ def test_deeplab_mobilenet_torchvision_parity():
 
 
 @pytest.mark.slow
-def test_segformer_hf_parity():
+@pytest.mark.parametrize("size", [64, 72])
+def test_segformer_hf_parity(size):
+    """size=72 gives a stage-1 token grid of 18, NOT divisible by the
+    sr_ratio 8 — pins the K/V spatial-reduction conv's VALID padding
+    (HF Conv2d padding=0): flax's default SAME padded an extra K/V
+    token row/col there and silently diverged from pretrained HF
+    weights (round-3 review finding)."""
     transformers = pytest.importorskip("transformers")
     torch.manual_seed(3)
     depths = (1, 1, 1, 1)
@@ -153,7 +159,7 @@ def test_segformer_hf_parity():
             return SegFormerHead(16, 32, dtype=jnp.float32)(feats, train)
 
     model = Core()
-    x = np.random.default_rng(3).random((1, 64, 64, 3), np.float32)
+    x = np.random.default_rng(3).random((1, size, size, 3), np.float32)
     ours = np.asarray(jax.jit(
         lambda v, a: model.apply(v, a, train=False))(
             variables, jnp.asarray(x)))
