@@ -18,7 +18,6 @@ synthesizes them on device when needed (debug plots, exports).
 
 from __future__ import annotations
 
-import functools
 import os
 from pathlib import Path
 
@@ -33,6 +32,7 @@ IMAGE_DIR = "Image__8bit_NirRGB"
 INDEX_DIR = "Annotation__index"
 COLOR_DIR = "Annotation__color"
 MASK_SUFFIX = "_15label"
+RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
 
 
 class SceneDataset:
@@ -45,10 +45,15 @@ class SceneDataset:
         self.color_dir = self.root / COLOR_DIR
         if not self.image_dir.is_dir():
             raise FileNotFoundError(f"no {IMAGE_DIR} under {self.root}")
-        self.image_paths = sorted(self.image_dir.iterdir())
+        # raster files only: a stray .DS_Store / swap file / subdirectory
+        # would crash decode and shift scene<->mask index pairing
+        self.image_paths = sorted(
+            p for p in self.image_dir.iterdir()
+            if p.is_file() and p.suffix.lower() in RASTER_SUFFIXES)
         if not self.image_paths:
             raise FileNotFoundError(f"no scenes under {self.image_dir}")
         self._shape: tuple[int, int] | None = None
+        self._class_counts: dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -62,10 +67,12 @@ class SceneDataset:
 
     @property
     def image_shape(self) -> tuple[int, int]:
-        """(H, W), probed from the first scene (`dataset.py:273-278`)."""
+        """(H, W), probed from the first scene (`dataset.py:273-278`) —
+        via a lazy header read, not a full raster decode (which also used
+        to consume scene 0's prefetched cache entry)."""
         if self._shape is None:
-            img = self.load_image(0)
-            self._shape = (img.shape[0], img.shape[1])
+            with Image.open(self.image_paths[0]) as im:
+                self._shape = (im.height, im.width)
         return self._shape
 
     def _decode(self, path) -> np.ndarray:
@@ -111,16 +118,20 @@ class SceneDataset:
         arr = np.asarray(Image.open(self.color_mask_path(i)))
         return arr
 
-    @functools.lru_cache(maxsize=None)
     def class_counts(self, num_classes: int) -> np.ndarray:
         """Per-class pixel counts over all index masks (`dataset.py:346-358`),
-        cached like the reference's ``self.count``."""
+        cached like the reference's ``self.count`` — per instance (an
+        lru_cache on the method would pin every SceneDataset alive for
+        the process lifetime)."""
+        if num_classes in self._class_counts:
+            return self._class_counts[num_classes]
         counts = np.zeros(num_classes, dtype=np.int64)
         for i in range(len(self)):
             mask = self.load_index_mask(i)
             counts += np.bincount(
                 mask.reshape(-1), minlength=num_classes
             )[:num_classes]
+        self._class_counts[num_classes] = counts
         return counts
 
 

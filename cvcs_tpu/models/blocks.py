@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -84,6 +85,10 @@ class BatchNorm(nn.BatchNorm):
                 force_float32_reductions=self.force_float32_reductions)
             if not self.is_initializing():
                 n = int(np.prod([x.shape[a] for a in reduction_axes]))
+                if self.axis_name is not None:
+                    # sync-BN: stats were psum'd over the named axis, so
+                    # the true sample count spans all its devices
+                    n *= jax.lax.axis_size(self.axis_name)
                 correction = n / max(n - 1, 1)   # torch unbiased EMA
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

@@ -25,7 +25,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvcs_tpu.models.blocks import TorchBatchNorm
+from cvcs_tpu.models.blocks import ConvTranspose, TorchBatchNorm
 
 from cvcs_tpu.models.mobilenet import MobileNetV3Backbone
 from cvcs_tpu.models.resnet import (
@@ -118,7 +118,10 @@ class _ResNet18Adapter(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         feats = resnet18_features(**kw)(x, train)
-        out = nn.ConvTranspose(512, (2, 2), strides=(2, 2), **kw)(feats["out"])
+        # blocks.ConvTranspose: same params/naming as nn.ConvTranspose but
+        # computed as matmul + depth-to-space (MXU-native; the
+        # fractionally-strided backward was profiled burning HBM)
+        out = ConvTranspose(512, **kw)(feats["out"])
         out = nn.relu(out)
         out = nn.Conv(960, (1, 1), **kw)(out)
         # reference hooks backbone[5] = ResNet-18 stage 2 (128 ch) for aux

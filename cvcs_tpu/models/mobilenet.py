@@ -121,7 +121,10 @@ class InvertedResidual(nn.Module):
             y = SqueezeExcite(_make_divisible(cfg.expanded // 4), **kw)(y)
         y = nn.Conv(cfg.out, (1, 1), use_bias=False, **kw)(y)
         y = _BN(**kw)(y, train)
-        if stride == 1 and inp == cfg.out:
+        # torchvision gates the residual on the CONFIG's stride
+        # (use_res_connect = cnf.stride == 1), not the dilation-adjusted
+        # one — a stride-2 dilated block must NOT gain a skip here
+        if cfg.stride == 1 and inp == cfg.out:
             y = y + x
         return y
 

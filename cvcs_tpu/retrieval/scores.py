@@ -23,6 +23,7 @@ EMD ranking and an embedding-distance ranking.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +44,22 @@ def _foreground_hist(mask: jnp.ndarray, nclasses: int) -> jnp.ndarray:
     return jnp.where(total > 0, counts / jnp.maximum(total, 1), 0.0)
 
 
+def _class_inter_union(t: jnp.ndarray, q: jnp.ndarray, num_classes: int):
+    """Per-foreground-class (inter, union, target support), each
+    (B, C-1) / (C-1,). Loops over the small class axis so temporaries
+    stay (B, N) — the previous one-shot (B, C-1, N) one-hot
+    materialization needed >11 GB at a 5000-patch candidate pool."""
+    inters, unions, supports = [], [], []
+    for c in range(1, num_classes):
+        tm = t == c                    # (N,)
+        qm = q == c                    # (B, N)
+        inters.append(jnp.sum(qm & tm[None], axis=-1))
+        unions.append(jnp.sum(qm | tm[None], axis=-1))
+        supports.append(jnp.sum(tm))
+    return (jnp.stack(inters, axis=1), jnp.stack(unions, axis=1),
+            jnp.stack(supports).astype(jnp.float32))
+
+
 def per_image_miou(target: jnp.ndarray, queries: jnp.ndarray,
                    num_classes: int) -> jnp.ndarray:
     """Per-query mean IoU over foreground classes; classes absent from both
@@ -50,11 +67,7 @@ def per_image_miou(target: jnp.ndarray, queries: jnp.ndarray,
     ``include_background=False``)."""
     t = jnp.asarray(target).reshape(-1)
     q = jnp.asarray(queries).reshape(queries.shape[0], -1)
-    classes = jnp.arange(1, num_classes)
-    t_onehot = t[None, :] == classes[:, None]                  # (C-1, N)
-    q_onehot = q[:, None, :] == classes[None, :, None]          # (B, C-1, N)
-    inter = jnp.sum(q_onehot & t_onehot[None], axis=-1)
-    union = jnp.sum(q_onehot | t_onehot[None], axis=-1)
+    inter, union, _ = _class_inter_union(t, q, num_classes)
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
     present = union > 0
     return jnp.sum(iou, axis=1) / jnp.maximum(jnp.sum(present, axis=1), 1)
@@ -67,12 +80,7 @@ def per_image_wiou(target: jnp.ndarray, queries: jnp.ndarray,
     weighted by the class's share of the target's pixels."""
     t = jnp.asarray(target).reshape(-1)
     q = jnp.asarray(queries).reshape(queries.shape[0], -1)
-    classes = jnp.arange(1, num_classes)
-    t_onehot = t[None, :] == classes[:, None]
-    q_onehot = q[:, None, :] == classes[None, :, None]
-    inter = jnp.sum(q_onehot & t_onehot[None], axis=-1)
-    union = jnp.sum(q_onehot | t_onehot[None], axis=-1)
-    support = jnp.sum(t_onehot, axis=-1).astype(jnp.float32)   # (C-1,)
+    inter, union, support = _class_inter_union(t, q, num_classes)
     weights = support / jnp.maximum(jnp.sum(support), 1)
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
     return jnp.sum(iou * weights[None, :], axis=1)
@@ -91,8 +99,9 @@ def per_image_emd(target: jnp.ndarray, queries: jnp.ndarray,
     """Cumsum-L1 EMD between foreground class histograms."""
     t_hist = _foreground_hist(target, nbins)
     cs_t = jnp.cumsum(t_hist)
-    q_hists = jnp.stack(
-        [_foreground_hist(q, nbins) for q in queries])
+    # one vmapped program, not an eager per-query dispatch loop
+    q_hists = jax.vmap(lambda q: _foreground_hist(q, nbins))(
+        jnp.asarray(queries))
     cs_q = jnp.cumsum(q_hists, axis=-1)
     return jnp.sum(jnp.abs(cs_t[None] - cs_q), axis=-1)
 

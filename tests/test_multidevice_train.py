@@ -222,3 +222,44 @@ def test_dp_accum_step_equals_single_device_accum_step():
                         (s8.params, s8.batch_stats))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_sync_bn_unbiased_correction_counts_all_devices():
+    """TorchBatchNorm with axis_name (sync-BN): batch stats psum over the
+    named axis, so the unbiased-EMA correction must use the GLOBAL sample
+    count (n_local * axis_size) — the local-n correction silently skewed
+    running_var (round-3 review finding; dormant until a model opts into
+    sync-BN)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cvcs_tpu.core.mesh import DATA_AXIS
+    from cvcs_tpu.models.blocks import TorchBatchNorm
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+
+    def init_and_stats(bn, xs, **apply_kw):
+        v = bn.init(jax.random.key(0), xs, use_running_average=False)
+        _, mut = bn.apply(v, xs, use_running_average=False,
+                          mutable=["batch_stats"], **apply_kw)
+        return mut["batch_stats"]["var"]
+
+    single = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+    want_var = init_and_stats(single, x)
+
+    mesh = create_mesh(MeshConfig(data=8, spatial=1))
+    sync = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                          axis_name=DATA_AXIS)
+    v = sync.init(jax.random.key(0), x[:2], use_running_average=False)
+
+    def body(variables, xs):
+        _, mut = sync.apply(variables, xs, use_running_average=False,
+                            mutable=["batch_stats"])
+        return mut["batch_stats"]["var"]
+
+    got_var = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=P(), check_rep=False))(v, x)
+    np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var),
+                               rtol=1e-5)
