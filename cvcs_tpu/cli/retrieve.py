@@ -7,14 +7,21 @@ and (b) deep-feature embedding distance from a trained model, then runs
 the notebook's EMD-agreement benchmark over a sample of probes.
 
 Config keys: ``dataset``, ``patch_size``, ``net`` + ``load_checkpoint``
-(embedding model; optional — mask scores alone without), ``pool``
-(max|mean), ``metric`` (l2|l1|cosine), ``num_probes``, ``images``
-(restrict scenes), ``num_classes``, ``seed``.
+(embedding model; optional — mask-score rankings alone without), ``pool``
+(max|mean), ``metric`` (l2|l1|cosine), ``num_probes``, ``topk``
+(rankings kept per probe, default 10), ``images`` (restrict scenes),
+``num_classes``, ``seed``.
+
+``net`` accepts the zoo names (backbone-tap embeddings) or the
+notebook's DINO trunks ``vits8 / vits16 / vitb8 / vitb16`` (CLS-token
+embeddings; ``load_checkpoint`` may be a DINO ``.pth`` state dict, run
+through :func:`cvcs_tpu.utils.torch_import.import_vit`).
 """
 
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +32,52 @@ from cvcs_tpu.retrieval import (
     compute_scores, extract_embedding, rank_by_distance, scores_evaluation,
 )
 from cvcs_tpu.retrieval.scores import rank_candidates
+
+# DINO's preprocessing (the notebook normalizes with ImageNet stats
+# before the hub trunks; `retrieval.ipynb` cells 37-46)
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _build_embedder(config: dict, patch: int):
+    """(embed_fn, description): embed_fn maps a (B, p, p, C) uint8 batch
+    to (B, D) f32 embeddings."""
+    import jax
+
+    name = str(config["net"])
+    variant = name.lower().removeprefix("dino_")
+    from cvcs_tpu.models.vit import VIT_VARIANTS, dino_vit
+
+    if variant in VIT_VARIANTS:
+        model = dino_vit(variant, **common.model_dtypes(config))
+        ckpt = config.get("load_checkpoint")
+        if ckpt and Path(ckpt).is_file():
+            # a DINO torch.hub checkpoint (.pth state dict)
+            import torch
+
+            from cvcs_tpu.utils.torch_import import import_vit
+            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            variables = import_vit(sd, depth=model.depth)
+            print(f"Loaded DINO checkpoint {ckpt}", flush=True)
+        else:
+            variables = common.restore_variables(config, model, patch)
+
+        @jax.jit
+        def embed(v, imgs):
+            x = imgs.astype(jnp.float32) / 255.0
+            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+            cls, _ = model.apply(v, x)
+            return cls
+
+        return (lambda imgs: embed(variables, imgs)), f"DINO {variant} CLS"
+
+    model, spec, _ = common.build_net(config)
+    variables = common.restore_variables(config, model, patch)
+    pool = config.get("pool", "max")
+    return (lambda imgs: extract_embedding(model, variables, imgs,
+                                           pool=pool)), f"{name} tap"
 
 
 def retrieve(config: dict) -> dict:
@@ -49,34 +102,52 @@ def retrieve(config: dict) -> dict:
 
     emb = None
     if config.get("net"):
-        model, spec, _ = common.build_net(config)
-        variables = common.restore_variables(config, model, patch)
+        embed, desc = _build_embedder(config, patch)
         parts = []
         bs = int(config.get("batch_size", 16))
         for s in range(0, n, bs):
-            parts.append(np.asarray(extract_embedding(
-                model, variables, jnp.asarray(images[s:s + bs]),
-                pool=config.get("pool", "max"))))
+            sl = images[s:s + bs]
+            real = sl.shape[0]
+            if real < bs:
+                # zero-pad the tail so the jitted forward compiles ONCE
+                # (a second ragged-shape program costs ~3-5 min through
+                # this machine's remote compiler)
+                sl = np.concatenate(
+                    [sl, np.zeros((bs - real,) + sl.shape[1:], sl.dtype)])
+            parts.append(np.asarray(embed(jnp.asarray(sl)))[:real])
         emb = np.concatenate(parts)
+        print(f"embeddings: {desc}, {emb.shape}", flush=True)
 
     rng = np.random.default_rng(int(config.get("seed", 0)))
     probes = rng.choice(n, size=min(int(config.get("num_probes", 10)), n),
                         replace=False)
-    emd_rankings, emb_rankings = [], []
+    topk = int(config.get("topk", 10))
+    emd_rankings, emb_rankings, mask_rankings = [], [], []
     for probe in probes:
         others = np.asarray([j for j in range(n) if j != probe])
         scores = compute_scores(masks[probe], jnp.asarray(masks[others]),
                                 num_classes)
-        emd_rank = [int(others[k]) for k in
-                    rank_candidates(scores["emd"], higher_better=False)]
-        emd_rankings.append(emd_rank)
+        ranks = {"probe": int(probe)}
+        for key, higher in (("emd", False), ("miou", True),
+                            ("wiou", True), ("pprec", True)):
+            order = rank_candidates(scores[key], higher_better=higher)
+            ranks[key] = [int(others[k]) for k in order[:topk]]
+        mask_rankings.append(ranks)
+        emd_rankings.append(
+            [int(others[k]) for k in
+             rank_candidates(scores["emd"], higher_better=False)])
         if emb is not None:
             order = rank_by_distance(
                 jnp.asarray(emb[probe]), jnp.asarray(emb[others]),
                 metric=config.get("metric", "l2"))
             emb_rankings.append([int(others[k]) for k in order])
 
-    out = {"num_probes": len(probes)}
+    # the notebook's per-score rankings ARE the output in mask-only mode
+    # (this used to compute them and return nothing)
+    out = {"num_probes": len(probes), "mask_rankings": mask_rankings}
+    for r in mask_rankings:
+        print(f"probe {r['probe']}: EMD top{topk} -> {r['emd']}",
+              flush=True)
     if emb is not None:
         print("embedding-vs-EMD agreement "
               "(notebook `scores_evaluation`):", flush=True)

@@ -30,6 +30,11 @@ def plot_confusion(normalized, path: str) -> None:
         df = pd.DataFrame(normalized, SHORT_LABELS[: normalized.shape[0]],
                           SHORT_LABELS[: normalized.shape[1]])
         plt.figure(figsize=(10, 8))
+        # reference parity, quirks included: `utils.py:424-425` calls
+        # sn.set globally (the font scale deliberately bleeds into the
+        # priors plot drawn next, as it does there) and passes annot_kws/
+        # fmt WITHOUT annot=True — the published heatmaps carry no cell
+        # numbers
         sn.set(font_scale=2.3)
         hm = sn.heatmap(
             df, annot_kws={"size": 20},
@@ -42,8 +47,10 @@ def plot_confusion(normalized, path: str) -> None:
         plt.figure(figsize=(10, 8))
         plt.imshow(normalized, cmap="viridis")
         plt.colorbar()
-        plt.xticks(range(normalized.shape[1]), SHORT_LABELS, rotation=90)
-        plt.yticks(range(normalized.shape[0]), SHORT_LABELS)
+        plt.xticks(range(normalized.shape[1]),
+                   SHORT_LABELS[: normalized.shape[1]], rotation=90)
+        plt.yticks(range(normalized.shape[0]),
+                   SHORT_LABELS[: normalized.shape[0]])
     plt.savefig(path, bbox_inches="tight", dpi=100)
     plt.close("all")
 

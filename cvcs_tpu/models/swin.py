@@ -59,7 +59,15 @@ def _window_merge(x: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
 
 def _shift_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
     """Region-id attention mask for shifted windows, (nWin, W*W, W*W) bool
-    (True = may attend). Pure numpy over static shapes."""
+    (True = may attend). Pure numpy over static shapes.
+
+    The official Swin band trick: the three bands per axis describe the
+    ROLLED feature map directly (after rolling by -shift, the wrapped
+    content sits in the last `shift` rows/cols and the last partial
+    window in [-win, -shift)), so the id grid must NOT be rolled again —
+    a second roll misplaces every band boundary and was measured to
+    block 832 legitimate token pairs at h=w=16/win=4/shift=2 while
+    leaving only 4 of the standard 9 free windows."""
     ids = np.zeros((h, w), np.int32)
     h_bands = (slice(0, h - win), slice(h - win, h - shift),
                slice(h - shift, h))
@@ -70,10 +78,31 @@ def _shift_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
         for wb in w_bands:
             ids[hb, wb] = cnt
             cnt += 1
-    ids = np.roll(ids, (-shift, -shift), axis=(0, 1))
     ids = ids.reshape(h // win, win, w // win, win)
     ids = ids.transpose(0, 2, 1, 3).reshape(-1, win * win)
     return ids[:, :, None] == ids[:, None, :]
+
+
+def _attn_mask(h: int, w: int, h0: int, w0: int, win: int,
+               shift: int) -> np.ndarray | None:
+    """Combined shifted-region x pad-validity mask, (nWin, T, T) bool or
+    None when nothing needs masking. Pad tokens (beyond the real h0 x w0
+    grid) are excluded as attention KEYS — real edge tokens must not
+    attend to LayerNorm-bias garbage; pad queries' outputs are sliced
+    away at the block end."""
+    region = _shift_mask(h, w, win, shift) if shift else None
+    if h == h0 and w == w0:
+        return region
+    valid = np.zeros((h, w), bool)
+    valid[:h0, :w0] = True
+    if shift:
+        # the validity grid lives in original coordinates — it follows
+        # the features' roll (unlike the band ids above)
+        valid = np.roll(valid, (-shift, -shift), axis=(0, 1))
+    v = valid.reshape(h // win, win, w // win, win)
+    v = v.transpose(0, 2, 1, 3).reshape(-1, win * win)
+    keys_ok = np.broadcast_to(v[:, None, :], (v.shape[0],) + (v.shape[1],) * 2)
+    return keys_ok if region is None else (region & keys_ok)
 
 
 class WindowAttention(nn.Module):
@@ -125,14 +154,17 @@ class SwinBlock(nn.Module):
         win = min(self.window, h0, w0)
         x_pad, (h0, w0) = _pad_to(x, win)
         h, w = x_pad.shape[1], x_pad.shape[2]
-        shift = win // 2 if (self.shifted and win > 1) else 0
+        # official Swin disables the shift when the map is a single
+        # window (min(resolution) <= window): rolling one window only
+        # carves it into mutually-masked regions for nothing
+        shift = (win // 2 if (self.shifted and win > 1
+                              and min(h0, w0) > win) else 0)
 
         y = nn.LayerNorm(**kw)(x_pad)
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(h, w, win, shift))
-        else:
-            mask = None
+        np_mask = _attn_mask(h, w, h0, w0, win, shift)
+        mask = jnp.asarray(np_mask) if np_mask is not None else None
         tokens = _window_partition(y, win)
         tokens = WindowAttention(c, self.heads, **kw)(tokens, mask)
         y = _window_merge(tokens, win, h, w)

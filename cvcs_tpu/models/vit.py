@@ -9,8 +9,10 @@ checkpoints, and (c) the CLS-token embedding tap used by
 :mod:`cvcs_tpu.retrieval`.
 
 Standard pre-LN ViT: conv patch embed, learned CLS token + positional
-embeddings (bilinear-interpolated for off-grid input sizes, as DINO does),
-fused-QKV attention, GELU MLP, final LayerNorm. bf16 compute / f32 params.
+embeddings (torch-exact bicubic interpolation for off-grid input sizes,
+matching DINO's ``interpolate_pos_encoding``), fused-QKV attention, GELU
+MLP, final LayerNorm. bf16 compute / f32 params. Reachable from the
+retrieve CLI as ``net: vits8|vits16|vitb8|vitb16``.
 """
 
 from __future__ import annotations
@@ -18,9 +20,36 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from cvcs_tpu.ops.resize import resize_bilinear
+
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix reproducing torch's
+    ``F.interpolate(mode="bicubic", align_corners=False)`` exactly
+    (cubic convolution with A=-0.75, half-pixel centers, edge clamp).
+    DINO's ``interpolate_pos_encoding`` uses torch bicubic; jax.image's
+    "bicubic" is the Keys a=-0.5 kernel and diverges from it."""
+    a = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return ((a + 2) * x - (a + 3)) * x * x + 1
+        if x < 2:
+            return (((x - 5) * x + 8) * x - 4) * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(src))
+        t = src - x0
+        for tap, dist in enumerate((t + 1, t, 1 - t, 2 - t)):
+            j = min(max(x0 - 1 + tap, 0), n_in - 1)
+            m[i, j] += k(dist)
+    return m.astype(np.float32)
 
 
 class ViTBlock(nn.Module):
@@ -91,10 +120,15 @@ class ViT(nn.Module):
                          self.param_dtype)
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (self.pos_grid, self.pos_grid):
-            # DINO's positional-embedding interpolation for other sizes
+            # DINO's positional-embedding interpolation for other sizes:
+            # torch-exact bicubic as two static matmuls (grids are tiny)
             grid = pos_patch.reshape(
-                1, self.pos_grid, self.pos_grid, self.dim)
-            grid = resize_bilinear(grid.astype(jnp.float32), (gh, gw))
+                1, self.pos_grid, self.pos_grid, self.dim
+            ).astype(jnp.float32)
+            wh = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, gh))
+            ww = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, gw))
+            grid = jnp.einsum("oh,bhwd->bowd", wh, grid)
+            grid = jnp.einsum("ow,bhwd->bhod", ww, grid)
             pos_patch = grid.reshape(1, gh * gw, self.dim)
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls, (b, 1, self.dim)).astype(self.dtype),

@@ -43,16 +43,70 @@ def test_window_partition_roundtrip():
 
 
 def test_shift_mask_blocks_cross_region_attention():
+    """Official Swin semantics: the band trick describes the ROLLED map
+    directly — only the last window row/col contain wrapped content, so
+    at 16x16/win 4/shift 2 the free windows are the 3x3 interior grid
+    (this test previously codified a double-rolled mask that left only
+    4 free windows and blocked 832 legitimate token pairs)."""
     h = w = 16
     win, shift = 4, 2
     mask = _shift_mask(h, w, win, shift)
     assert mask.shape == (16, 16, 16)
-    # windows fully inside the unshifted interior band attend freely:
-    # row/col window indices {0, 1} of 4 -> 2 * 2 = 4 free windows
-    assert mask.all(axis=(1, 2)).sum() == 4
-    # every other window has at least one forbidden pair, diagonal allowed
+    # windows not touching the wrapped last row/col attend freely:
+    # row/col window indices {0, 1, 2} of 4 -> 3 * 3 = 9 free windows
+    free = mask.all(axis=(1, 2)).reshape(4, 4)
+    np.testing.assert_array_equal(free[:3, :3], True)
+    assert free.sum() == 9
+    # wrapped-edge windows have forbidden pairs, diagonal always allowed
     assert all(mask[k].diagonal().all() for k in range(16))
-    assert (~mask.all(axis=(1, 2))).sum() == 12
+    np.testing.assert_array_equal(free[3, :], False)
+    np.testing.assert_array_equal(free[:, 3], False)
+
+
+def test_shift_mask_matches_official_reference():
+    """Pin the mask against an independent transcription of the official
+    Swin implementation (img_mask bands -> window partition -> pairwise
+    id equality, no roll)."""
+    h = w = 12
+    win, shift = 4, 2
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+        for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    mw = img.reshape(h // win, win, w // win, win)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, win * win)
+    want = mw[:, :, None] == mw[:, None, :]
+    np.testing.assert_array_equal(_shift_mask(h, w, win, shift), want)
+
+
+def test_attn_mask_excludes_pad_keys():
+    """Pad tokens beyond the real grid must not be attended to as keys,
+    in both shifted and unshifted windows; pad queries keep their
+    diagonal-free rows (outputs are sliced away at the block end)."""
+    from cvcs_tpu.models.swin import _attn_mask
+
+    h = w = 8
+    h0, w0 = 6, 8    # two pad rows
+    win = 4
+    for shift in (0, 2):
+        mask = _attn_mask(h, w, h0, w0, win, shift)
+        valid = np.zeros((h, w), bool)
+        valid[:h0, :w0] = True
+        if shift:
+            valid = np.roll(valid, (-shift, -shift), axis=(0, 1))
+        v = valid.reshape(h // win, win, w // win, win)
+        v = v.transpose(0, 2, 1, 3).reshape(-1, win * win)
+        # no pad token is ever a permitted key
+        assert not (mask & ~v[:, None, :]).any()
+        # real->real attention within a window is unrestricted when
+        # unshifted
+        if shift == 0:
+            np.testing.assert_array_equal(
+                mask, np.broadcast_to(v[:, None, :], mask.shape))
+    # fully-real grids need no mask at all when unshifted
+    assert _attn_mask(8, 8, 8, 8, 4, 0) is None
 
 
 def test_gradients_flow():

@@ -108,3 +108,60 @@ def test_import_vit_parity():
     with torch.no_grad():
         ref = twin(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(np.asarray(cls), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_bicubic_matrix_matches_torch():
+    """_torch_bicubic_matrix must reproduce
+    F.interpolate(mode='bicubic', align_corners=False) exactly — DINO's
+    interpolate_pos_encoding uses torch bicubic (A=-0.75), which
+    jax.image's Keys-kernel 'bicubic' (a=-0.5) does not match."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from cvcs_tpu.models.vit import _torch_bicubic_matrix
+
+    rng = np.random.default_rng(0)
+    for n_in, gh, gw in [(4, 7, 5), (14, 28, 28), (14, 9, 13)]:
+        x = rng.standard_normal((1, 3, n_in, n_in)).astype(np.float32)
+        want = F.interpolate(torch.tensor(x), size=(gh, gw),
+                             mode="bicubic", align_corners=False).numpy()
+        wh = _torch_bicubic_matrix(n_in, gh)
+        ww = _torch_bicubic_matrix(n_in, gw)
+        got = np.einsum("oh,bchw->bcow", wh, x)
+        got = np.einsum("ow,bchw->bcho", ww, got)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_import_vit_parity_offgrid():
+    """Twin parity at an OFF-grid input size, exercising the positional
+    interpolation path end-to-end (the on-grid parity test never touches
+    it); the twin applies torch's own bicubic like DINO."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from cvcs_tpu.utils.torch_import import import_vit
+
+    dim, depth, heads, patch, grid = 32, 2, 4, 8, 4
+    torch.manual_seed(0)
+    twin = _TorchDinoTwin(dim, depth, heads, patch, grid).eval()
+    variables = import_vit(twin.state_dict(), depth=depth)
+
+    model = ViT(dim=dim, depth=depth, heads=heads, patch=patch,
+                pos_grid=grid, **F32)
+    x = np.random.default_rng(1).random((1, 48, 48, 3), np.float32)  # 6x6
+    cls, _ = jax.jit(lambda v, a: model.apply(v, a))(
+        variables, jnp.asarray(x))
+    with torch.no_grad():
+        t = twin.patch_embed.proj(
+            torch.tensor(x.transpose(0, 3, 1, 2))).flatten(2).transpose(1, 2)
+        pos_cls, pos_patch = twin.pos_embed[:, :1], twin.pos_embed[:, 1:]
+        pg = pos_patch.reshape(1, grid, grid, dim).permute(0, 3, 1, 2)
+        pg = F.interpolate(pg, size=(6, 6), mode="bicubic",
+                           align_corners=False)
+        pos = torch.cat(
+            [pos_cls, pg.permute(0, 2, 3, 1).reshape(1, 36, dim)], dim=1)
+        t = torch.cat([twin.cls_token.expand(1, -1, -1), t], dim=1) + pos
+        for blk in twin.blocks:
+            t = blk(t)
+        ref = twin.norm(t)[:, 0].numpy()
+    np.testing.assert_allclose(np.asarray(cls), ref, atol=1e-5, rtol=1e-4)
