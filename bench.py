@@ -3,8 +3,9 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-* ``train``: warm UNetv2 (flagship) train-step throughput, bs 8 @ 224^2
-  bf16, converted to 512^2-pixel-equivalent tiles/sec.
+* ``train``: warm UNetv2 (flagship) train-step throughput, bs 128 @ 224^2
+  bf16 (k=4 chained dispatches, marginal-rate timed), converted to
+  512^2-pixel-equivalent tiles/sec.
 * ``infer``: warm whole-scene sliding-window throughput (2048^2 scene,
   p 224 / bc 256 border-corrected), same conversion.
 * headline ``value``: geometric mean of the two (the BASELINE.json metric

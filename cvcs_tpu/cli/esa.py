@@ -26,6 +26,9 @@ def run(config: dict) -> None:
 
     from PIL import Image
 
+    from cvcs_tpu.config.loader import ESA_KEYS, validate_keys
+
+    validate_keys(config, ESA_KEYS, {"image", "net"}, "esa")
     Image.MAX_IMAGE_PIXELS = None
     paths = config["image"]
     if not isinstance(paths, (list, tuple)):

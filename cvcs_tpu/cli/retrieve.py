@@ -81,6 +81,10 @@ def _build_embedder(config: dict, patch: int):
 
 
 def retrieve(config: dict) -> dict:
+    from cvcs_tpu.config.loader import RETRIEVE_KEYS, validate_keys
+
+    validate_keys(config, RETRIEVE_KEYS, {"dataset", "patch_size"},
+                  "retrieve")
     patch = int(config["patch_size"])
     num_classes = int(config.get("num_classes", 15)) + 1
     loader = ChunkLoader(config["dataset"], chunk_size=1, patch_size=patch,

@@ -49,8 +49,14 @@ from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
 
 
-def _read_journal(manifest) -> tuple[set, dict]:
-    """(names already handled, mask-filename claims) from the journal.
+def _read_journal(manifest) -> tuple[set, dict, dict]:
+    """(names already handled, mask-filename claims, error signatures)
+    from the journal.
+
+    Error entries carry the failing file's (size, mtime_ns) signature so
+    a raster REPLACED after its error was journaled (new signature) is
+    re-admitted — without this, one bad copy would permanently blacklist
+    the name even after the operator fixes the file.
 
     Also repairs a torn final line (crash mid-append): without a closing
     newline, the next append would concatenate onto the torn fragment
@@ -60,6 +66,7 @@ def _read_journal(manifest) -> tuple[set, dict]:
     """
     done = set()
     claimed: dict[str, str] = {}
+    error_sigs: dict[str, tuple | None] = {}
     if manifest.exists():
         data = manifest.read_bytes()
         if data and not data.endswith(b"\n"):
@@ -73,9 +80,14 @@ def _read_journal(manifest) -> tuple[set, dict]:
                     mask = entry.get(
                         "mask", f"{entry['name'].rsplit('.', 1)[0]}_mask.png")
                     claimed.setdefault(mask, entry["name"])
+                    error_sigs.pop(entry["name"], None)
+                else:
+                    sig = entry.get("sig")
+                    error_sigs[entry["name"]] = (
+                        tuple(sig) if isinstance(sig, list) else None)
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue  # torn line: re-process that raster
-    return done, claimed
+    return done, claimed, error_sigs
 
 
 def serve(config: dict) -> int:
@@ -84,12 +96,15 @@ def serve(config: dict) -> int:
 
     from PIL import Image
 
+    from cvcs_tpu.config.loader import SERVE_KEYS, validate_keys
+
+    validate_keys(config, SERVE_KEYS, {"watch_dir", "net"}, "serve")
     Image.MAX_IMAGE_PIXELS = None
     watch = Path(config["watch_dir"])
     out_dir = Path(config.get("output", watch / "output"))
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = out_dir / "manifest.jsonl"
-    done, claimed = _read_journal(manifest)
+    done, claimed, error_sigs = _read_journal(manifest)
 
     p = int(config.get("patch_size", 512))
     (apply_fn, variables, num_classes,
@@ -137,7 +152,11 @@ def serve(config: dict) -> int:
         n = prev_n + 1 if sig == prev_sig else 1
         failures[f.name] = (n, sig)
         if n >= max_retries:
-            journal({"name": f.name, "error": str(err), "attempts": n})
+            # record the failing signature: a REPLACED file (different
+            # size/mtime) is re-admitted on a later poll / restart
+            journal({"name": f.name, "error": str(err), "attempts": n,
+                     "sig": list(sig) if sig else None})
+            error_sigs[f.name] = sig
             failures.pop(f.name, None)
             print(f"giving up on {f.name} after {n} attempts: {err}",
                   flush=True)
@@ -159,6 +178,7 @@ def serve(config: dict) -> int:
                      "shape": list(lab.shape), "batch": len(batch),
                      "batch_seconds": round(time.time() - t0, 3)})
             failures.pop(f.name, None)
+            error_sigs.pop(f.name, None)
             n_processed += 1
             print(f"served {f.name} -> {mask}", flush=True)
 
@@ -170,11 +190,28 @@ def serve(config: dict) -> int:
         except OSError:
             return False
 
+    def _admissible(f) -> bool:
+        if f.name not in done:
+            return True
+        old = error_sigs.get(f.name)
+        if old is None:   # success entry, or legacy error without a sig
+            return False
+        cur = _sig(f)
+        if cur is not None and cur != old:
+            # the journaled error was for a DIFFERENT file content —
+            # the operator replaced it; re-admit with a fresh retry budget
+            done.discard(f.name)
+            error_sigs.pop(f.name, None)
+            print(f"re-admitting replaced {f.name} "
+                  "(signature differs from journaled error)", flush=True)
+            return True
+        return False
+
     while True:
         now = time.time()
         pending = sorted(
             f for f in watch.iterdir()
-            if f.suffix.lower() in RASTER_SUFFIXES and f.name not in done
+            if f.suffix.lower() in RASTER_SUFFIXES and _admissible(f)
             and _settled(f, now))
         # header-only size probe: group same-shape arrivals without
         # decoding the whole backlog into host RAM

@@ -128,9 +128,29 @@ def build_trainer(config: dict) -> Trainer:
             f"grad_accum={train_cfg.grad_accum} must divide "
             f"batch_size={train_cfg.batch_size}")
 
+    mesh = common.mesh_from_config(config)
+    if mesh is not None and dict(mesh.shape).get("spatial", 1) > 1:
+        import jax
+
+        flat, _ = jax.tree_util.tree_flatten_with_path(state.params)
+        if any("ConvTranspose" in jax.tree_util.keystr(path)
+               for path, _ in flat):
+            # measured hazard (BASELINE.md §Blocked, round 3): the SPMD
+            # partitioner reports involuntary re-materialization for
+            # transpose-conv decoders under row sharding; correctness is
+            # pinned but step time may regress — say so where the user
+            # turns it on, not only in the perf doc
+            print(
+                "[cvcs_tpu] warning: mesh spatial="
+                f"{dict(mesh.shape)['spatial']} with a transpose-conv "
+                f"decoder net ({config['net']}): XLA's SPMD partitioner "
+                "reports involuntary re-materialization for transpose "
+                "convs under row sharding — profile a step on real "
+                "hardware before production use (BASELINE.md §Blocked)",
+                flush=True)
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,
-                      mesh=common.mesh_from_config(config))
+                      mesh=mesh)
     ckpt = config.get("load_checkpoint")
     if ckpt == "auto":
         # crash-resume: pick up the newest checkpoint in the directory

@@ -40,6 +40,25 @@ INFER_KEYS = {
     "mesh", "tta", "in_channels", "stream_rows", "ensemble_config",
     "fullconv_bands", "fullconv_chunks",
 }
+# framework-added entry points (no reference analogue for serve; esa.py /
+# retrieval.ipynb had no configs) — validated like the original three so a
+# typo like `border_corection` warns instead of silently running default
+SERVE_KEYS = {
+    "watch_dir", "output", "net", "load_checkpoint", "ensemble_config",
+    "patch_size", "border_correction", "batch_tiles", "tta", "num_classes",
+    "precision", "in_channels", "mesh", "device",
+    "poll_s", "settle_s", "max_batch", "max_retries", "max_polls",
+}
+ESA_KEYS = {
+    "image", "net", "load_checkpoint", "ensemble_config", "patch_size",
+    "border_correction", "batch_tiles", "tta", "out_image", "output",
+    "num_classes", "precision", "in_channels", "mesh", "device",
+}
+RETRIEVE_KEYS = {
+    "dataset", "patch_size", "net", "load_checkpoint", "pool", "metric",
+    "num_probes", "topk", "images", "num_classes", "seed", "batch_size",
+    "precision", "in_channels", "device",
+}
 
 
 def load_yaml(path: str | Path) -> dict:

@@ -132,6 +132,13 @@ class Trainer:
         if config.grad_accum < 1:
             raise ValueError(
                 f"grad_accum={config.grad_accum} must be >= 1")
+        if config.grad_accum > 1 and config.batch_size % config.grad_accum:
+            # without this, every full batch silently routes to plain_step
+            # (accumulation off, no memory savings) and the stacked
+            # multi-step path raises at trace time
+            raise ValueError(
+                f"batch_size={config.batch_size} must be divisible by "
+                f"grad_accum={config.grad_accum}")
         update_stats = config.bn_exact_stats
         self.train_step = make_train_step(
             loss_fn, spec.requires_context, update_stats,
@@ -444,11 +451,19 @@ class Trainer:
                 # epoch before noticing (the grace window is short)
                 ckpt_lib.wait_for_saves()
                 if (epoch + 1) % cfg.freq != 0:   # no boundary save above
+                    # carry the confusion histories too — this epoch may
+                    # have just run a precision eval, and resume picks
+                    # THIS checkpoint
                     ckpt_lib.save_checkpoint(
                         cfg.checkpoint_directory, epoch, self.state,
                         self.training_loss_values,
                         self.validation_loss_values, bs,
-                        self.optimizer.name)
+                        self.optimizer.name,
+                        conf_flat=[np.asarray(m).tolist()
+                                   for m in self.conf_history],
+                        conf_normalized=[
+                            np.asarray(confusion.normalize_rows(m)).tolist()
+                            for m in self.conf_history])
                 if cfg.keep_checkpoints:
                     ckpt_lib.prune_checkpoints(
                         cfg.checkpoint_directory, cfg.keep_checkpoints)

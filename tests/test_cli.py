@@ -255,6 +255,32 @@ def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     assert got.shape == (PATCH * 2, PATCH * 3, 3)
 
 
+def test_serve_esa_retrieve_config_validation(gid15_root, tmp_path, capsys):
+    """The framework-added entry points validate their configs like the
+    reference's original three: missing required keys fail fast, unknown
+    keys (typos like `border_corection`) warn instead of silently running
+    with defaults."""
+    from cvcs_tpu.cli import esa as esa_cli
+    from cvcs_tpu.cli import serve as serve_cli
+    from cvcs_tpu.cli.retrieve import retrieve
+
+    with pytest.raises(KeyError, match="watch_dir"):
+        serve_cli.serve({"net": "Unet"})
+    with pytest.raises(KeyError, match="image"):
+        esa_cli.run({"net": "Unet"})
+    with pytest.raises(KeyError, match="dataset"):
+        retrieve({"patch_size": PATCH})
+
+    # unknown key: warn and proceed (mask-only retrieve is the cheapest
+    # full run of the three)
+    out = retrieve(dict(dataset=str(gid15_root), patch_size=PATCH,
+                        num_probes=1, seed=0, border_corection=128))
+    assert out["num_probes"] == 1
+    captured = capsys.readouterr().out
+    assert "unknown retrieve config keys" in captured
+    assert "border_corection" in captured
+
+
 def test_serve_cli(trained_ckpt, tmp_path):
     """Directory-watching service: processes arrivals once (manifest is
     the restart journal), masks equal the one-shot engine's output, and
@@ -351,6 +377,13 @@ def test_serve_cli_resilience(trained_ckpt, tmp_path):
     assert "error" not in entries["good.png"]
     # restart with everything journaled: nothing re-processed
     assert serve_cli.serve(cfg) == 0
+    # operator replaces the corrupt file with a valid raster: its
+    # signature differs from the journaled error's, so it is re-admitted
+    # and served; tiny.png is unchanged and stays blacklisted
+    Image.fromarray(rng.integers(0, 255, (PATCH * 2, PATCH * 2, 3),
+                                 np.uint8)).save(watch / "corrupt.png")
+    assert serve_cli.serve(cfg) == 1
+    assert (out / "corrupt_mask.png").exists()
 
 
 def test_serve_cli_ensemble_and_tta_guard(trained_ckpt, tmp_path):
