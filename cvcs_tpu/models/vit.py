@@ -24,12 +24,19 @@ import numpy as np
 from flax import linen as nn
 
 
-def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+def _torch_bicubic_matrix(n_in: int, n_out: int,
+                          scale: float | None = None) -> np.ndarray:
     """(n_out, n_in) interpolation matrix reproducing torch's
     ``F.interpolate(mode="bicubic", align_corners=False)`` exactly
     (cubic convolution with A=-0.75, half-pixel centers, edge clamp).
-    DINO's ``interpolate_pos_encoding`` uses torch bicubic; jax.image's
-    "bicubic" is the Keys a=-0.5 kernel and diverges from it."""
+    jax.image's "bicubic" is the Keys a=-0.5 kernel and diverges from it.
+
+    ``scale`` is the *coordinate* scale ``src = (i + 0.5) * scale - 0.5``
+    (default ``n_in / n_out`` — torch's ``size=`` call). DINO's
+    ``interpolate_pos_encoding`` instead passes
+    ``scale_factor=(n_out + 0.1) / n_in``, and torch uses the caller's
+    scale_factor in the coordinate mapping, so matching DINO hub outputs
+    needs ``scale = n_in / (n_out + 0.1)``."""
     a = -0.75
 
     def k(x):
@@ -41,7 +48,8 @@ def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
         return 0.0
 
     m = np.zeros((n_out, n_in), np.float64)
-    scale = n_in / n_out
+    if scale is None:
+        scale = n_in / n_out
     for i in range(n_out):
         src = (i + 0.5) * scale - 0.5
         x0 = int(np.floor(src))
@@ -121,12 +129,16 @@ class ViT(nn.Module):
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (self.pos_grid, self.pos_grid):
             # DINO's positional-embedding interpolation for other sizes:
-            # torch-exact bicubic as two static matmuls (grids are tiny)
+            # torch-exact bicubic as two static matmuls (grids are tiny),
+            # with DINO's scale_factor=(g + 0.1)/pos_grid coordinate
+            # mapping (NOT size-based n_in/n_out — they differ slightly)
             grid = pos_patch.reshape(
                 1, self.pos_grid, self.pos_grid, self.dim
             ).astype(jnp.float32)
-            wh = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, gh))
-            ww = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, gw))
+            wh = jnp.asarray(_torch_bicubic_matrix(
+                self.pos_grid, gh, scale=self.pos_grid / (gh + 0.1)))
+            ww = jnp.asarray(_torch_bicubic_matrix(
+                self.pos_grid, gw, scale=self.pos_grid / (gw + 0.1)))
             grid = jnp.einsum("oh,bhwd->bowd", wh, grid)
             grid = jnp.einsum("ow,bhwd->bhod", ww, grid)
             pos_patch = grid.reshape(1, gh * gw, self.dim)

@@ -131,11 +131,28 @@ def test_bicubic_matrix_matches_torch():
         got = np.einsum("ow,bchw->bcho", ww, got)
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    # DINO's interpolate_pos_encoding passes scale_factor=(g + 0.1)/n_in
+    # and torch maps coordinates with the CALLER's scale factor — the
+    # size-based mapping above diverges from it (up to ~1.0 absolute on
+    # N(0,1) inputs); scale=n_in/(g + 0.1) reproduces the hub call
+    for n_in, g in [(4, 6), (14, 28), (14, 9), (28, 13)]:
+        x = rng.standard_normal((1, 3, n_in, n_in)).astype(np.float32)
+        sf = (g + 0.1) / n_in
+        want = F.interpolate(torch.tensor(x), scale_factor=(sf, sf),
+                             mode="bicubic", align_corners=False).numpy()
+        assert want.shape[-2:] == (g, g)
+        m = _torch_bicubic_matrix(n_in, g, scale=n_in / (g + 0.1))
+        got = np.einsum("oh,bchw->bcow", m, x)
+        got = np.einsum("ow,bcrw->bcro", m, got)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
 
 def test_import_vit_parity_offgrid():
     """Twin parity at an OFF-grid input size, exercising the positional
     interpolation path end-to-end (the on-grid parity test never touches
-    it); the twin applies torch's own bicubic like DINO."""
+    it); the twin applies torch's own bicubic EXACTLY as DINO's
+    interpolate_pos_encoding does — scale_factor=(g + 0.1)/grid, not
+    size= (the two coordinate mappings differ)."""
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
@@ -156,8 +173,10 @@ def test_import_vit_parity_offgrid():
             torch.tensor(x.transpose(0, 3, 1, 2))).flatten(2).transpose(1, 2)
         pos_cls, pos_patch = twin.pos_embed[:, :1], twin.pos_embed[:, 1:]
         pg = pos_patch.reshape(1, grid, grid, dim).permute(0, 3, 1, 2)
-        pg = F.interpolate(pg, size=(6, 6), mode="bicubic",
+        sf = (6 + 0.1) / grid
+        pg = F.interpolate(pg, scale_factor=(sf, sf), mode="bicubic",
                            align_corners=False)
+        assert pg.shape[-2:] == (6, 6)
         pos = torch.cat(
             [pos_cls, pg.permute(0, 2, 3, 1).reshape(1, 36, dim)], dim=1)
         t = torch.cat([twin.cls_token.expand(1, -1, -1), t], dim=1) + pos
