@@ -39,6 +39,9 @@ _EXPORTERS = {
     "MobileNet": lambda v: torch_export.export_deeplab(
         v, backbone="mobilenet"),
     "SegformerMod": lambda v: torch_export.export_segformer(v),
+    "SwinUnet": lambda v: torch_export.export_swin(v),
+    "SwinUnetTiny": lambda v: torch_export.export_swin(
+        v, depths=(1, 1, 2, 1)),
 }
 
 

@@ -1,6 +1,8 @@
-"""Export trained UNet-family variables back to the reference's torch
-state-dict naming (`source/scripts/nets.py:117-199` Urnetv2 /
-`nets.py:34-115` Urnet).
+"""Export trained variables back to torch state-dict naming — the FULL
+zoo: UNet/UNetv2 (reference naming, `source/scripts/nets.py:117-199` /
+`nets.py:34-115`), DeepLabV3 ResNet-50/101/MobileNetV3 + GoogLeNet trunk
+(torchvision), SegFormer incl. the reference tail (HF), ViT (DINO/timm),
+and SwinUNet (framework twin naming, `utils/torch_swin_ref.py`).
 
 The inverse of :func:`cvcs_tpu.utils.torch_import.import_unet`: a user who
 trains in this framework can hand the weights back to the reference's
@@ -256,6 +258,44 @@ def export_vit(variables: dict, depth: int = 12) -> dict:
         w.dense(blk + ("Dense_2",), f"{base}.mlp.fc1")
         w.dense(blk + ("Dense_3",), f"{base}.mlp.fc2")
     w.ln(("LayerNorm_0",), "norm")
+    return w.sd
+
+
+def export_swin(variables: dict, depths=(2, 2, 6, 2)) -> dict:
+    """SwinUNet variables -> :class:`cvcs_tpu.utils.torch_swin_ref.
+    TorchSwinUNet` state-dict naming. Inverse of
+    :func:`torch_import.import_swin` (framework-defined naming — the
+    reference never implemented its advertised TSwin/BSwin, SURVEY
+    quirk 10)."""
+    w = _SdWriter(variables)
+    w.conv(("Conv_0",), "patch_embed.proj")
+    w.ln(("LayerNorm_0",), "patch_embed.norm")
+    blk_idx = 0
+    for s in range(4):
+        if s > 0:
+            w.conv((f"Conv_{s}",), f"layers.{s}.downsample.proj")
+            w.ln((f"LayerNorm_{s}",), f"layers.{s}.downsample.norm")
+        for d in range(depths[s]):
+            base = f"layers.{s}.blocks.{d}"
+            blk = (f"SwinBlock_{blk_idx}",)
+            w.ln(blk + ("LayerNorm_0",), f"{base}.norm1")
+            att = blk + ("WindowAttention_0",)
+            w.dense(att + ("Dense_0",), f"{base}.attn.qkv")
+            w.dense(att + ("Dense_1",), f"{base}.attn.proj")
+            w.ln(blk + ("LayerNorm_1",), f"{base}.norm2")
+            w.dense(blk + ("Dense_0",), f"{base}.mlp.fc1")
+            w.dense(blk + ("Dense_1",), f"{base}.mlp.fc2")
+            blk_idx += 1
+    for i in range(3):
+        w.convt((f"ConvTranspose_{i}",), f"decoder.{i}.up")
+        dec = (f"DecodeBlock_{i}",)
+        w.conv(dec + ("Conv_0",), f"decoder.{i}.conv1")
+        w.bn(dec + ("BatchNorm_0",), f"decoder.{i}.bn1")
+        w.conv(dec + ("Conv_1",), f"decoder.{i}.conv2")
+        w.bn(dec + ("BatchNorm_1",), f"decoder.{i}.bn2")
+    w.convt(("ConvTranspose_3",), "head.up1")
+    w.convt(("ConvTranspose_4",), "head.up2")
+    w.conv(("Conv_4",), "head.out")
     return w.sd
 
 

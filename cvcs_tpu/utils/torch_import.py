@@ -359,6 +359,52 @@ def import_vit(sd: Mapping, depth: int = 12) -> dict:
 
 
 # --------------------------------------------------------------------------
+# SwinUNet (torch_swin_ref twin naming; encoder vocabulary follows
+# microsoft/Swin-Transformer where the architectures coincide)
+# --------------------------------------------------------------------------
+
+def import_swin(sd: Mapping, depths=(2, 2, 6, 2)) -> dict:
+    """:class:`cvcs_tpu.utils.torch_swin_ref.TorchSwinUNet` state dict ->
+    :class:`cvcs_tpu.models.swin.SwinUNet` variables. SwinUnet is
+    framework-added (reference docs advertise but never implement
+    TSwin/BSwin, SURVEY quirk 10), so the twin defines the torch naming;
+    official Swin checkpoints are NOT loadable (they carry
+    relative-position biases and concat+linear merges this architecture
+    does not have)."""
+    b = _TreeBuilder()
+    b.conv(("Conv_0",), sd, "patch_embed.proj")
+    b.ln(("LayerNorm_0",), sd, "patch_embed.norm")
+    blk_idx = 0
+    for s in range(4):
+        if s > 0:
+            b.conv((f"Conv_{s}",), sd, f"layers.{s}.downsample.proj")
+            b.ln((f"LayerNorm_{s}",), sd, f"layers.{s}.downsample.norm")
+        for d in range(depths[s]):
+            base = f"layers.{s}.blocks.{d}"
+            blk = (f"SwinBlock_{blk_idx}",)
+            b.ln(blk + ("LayerNorm_0",), sd, f"{base}.norm1")
+            att = blk + ("WindowAttention_0",)
+            b.dense(att + ("Dense_0",), sd, f"{base}.attn.qkv")
+            b.dense(att + ("Dense_1",), sd, f"{base}.attn.proj")
+            b.ln(blk + ("LayerNorm_1",), sd, f"{base}.norm2")
+            b.dense(blk + ("Dense_0",), sd, f"{base}.mlp.fc1")
+            b.dense(blk + ("Dense_1",), sd, f"{base}.mlp.fc2")
+            blk_idx += 1
+    for i in range(3):
+        b.conv((f"ConvTranspose_{i}",), sd, f"decoder.{i}.up",
+               transform=convt_w)
+        dec = (f"DecodeBlock_{i}",)
+        b.conv(dec + ("Conv_0",), sd, f"decoder.{i}.conv1")
+        b.bn(dec + ("BatchNorm_0",), sd, f"decoder.{i}.bn1")
+        b.conv(dec + ("Conv_1",), sd, f"decoder.{i}.conv2")
+        b.bn(dec + ("BatchNorm_1",), sd, f"decoder.{i}.bn2")
+    b.conv(("ConvTranspose_3",), sd, "head.up1", transform=convt_w)
+    b.conv(("ConvTranspose_4",), sd, "head.up2", transform=convt_w)
+    b.conv(("Conv_4",), sd, "head.out")
+    return b.variables()
+
+
+# --------------------------------------------------------------------------
 # Reference checkpoint dispatch
 # --------------------------------------------------------------------------
 

@@ -126,3 +126,85 @@ def test_gradients_flow():
              for v in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(norms))
     assert any(n > 0 for n in norms)
+
+
+# ---------------------------------------------------------------------------
+# torch interop (the zoo's "weights flow both ways" bar, PARITY.md §2.5)
+# ---------------------------------------------------------------------------
+
+_TINY = dict(dims=(8, 16, 32, 64), depths=(2, 2, 2, 2), heads=(2, 2, 4, 4),
+             window=4)
+
+
+def test_import_swin_parity():
+    """Torch twin -> import_swin -> SwinUNet forward parity at 96x96:
+    stage maps 24/12/6/3 exercise plain, shifted, padded+shifted, and
+    single-window (shift-disabled) attention plus the BN decoder."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from cvcs_tpu.models.swin import SwinUNet
+    from cvcs_tpu.utils.torch_import import import_swin
+    from cvcs_tpu.utils.torch_swin_ref import TorchSwinUNet
+
+    torch.manual_seed(0)
+    twin = TorchSwinUNet(num_classes=5, **_TINY).eval()
+    # non-trivial BN running stats so the decoder parity is real
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.7, 1.4)
+    variables = import_swin(twin.state_dict(), depths=_TINY["depths"])
+
+    model = SwinUNet(num_classes=5, **_TINY, dtype=jnp.float32)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 96, 96, 3)).astype(np.float32)
+    got = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+        variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = twin(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_export_swin_roundtrip():
+    """export_swin loads strict into the torch twin (forward parity) and
+    import_swin(export_swin(v)) is the identity."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from cvcs_tpu.models.swin import SwinUNet
+    from cvcs_tpu.utils.torch_export import export_swin
+    from cvcs_tpu.utils.torch_import import import_swin
+    from cvcs_tpu.utils.torch_swin_ref import TorchSwinUNet
+
+    model = SwinUNet(num_classes=5, **_TINY, dtype=jnp.float32)
+    x = np.random.default_rng(1).standard_normal(
+        (1, 64, 64, 3)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(2)}, jnp.asarray(x), train=False)
+
+    sd = export_swin(variables, depths=_TINY["depths"])
+    twin = TorchSwinUNet(num_classes=5, **_TINY)
+    missing, unexpected = twin.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(a)) for k, a in sd.items()},
+        strict=True)
+    assert not missing and not unexpected
+    twin.eval()
+    got = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+        variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = twin(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+    back = import_swin(sd, depths=_TINY["depths"])
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (p, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, err_msg=str(p))

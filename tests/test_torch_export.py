@@ -288,3 +288,33 @@ def test_export_loads_into_torch_twin():
     out_j = np.asarray(model.apply(v, jnp.asarray(x), train=False))
     np.testing.assert_allclose(
         out_j, out_t.transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4)
+
+
+def test_export_cli_swin(tmp_path):
+    """SwinUnetTiny through the export CLI (depths dispatch) -> .pt that
+    strict-loads the torch twin and imports back to the same variables."""
+    torch = pytest.importorskip("torch")
+    from cvcs_tpu.cli import export as export_cli
+    from cvcs_tpu.train import build_optimizer, create_train_state
+    from cvcs_tpu.train import checkpoint as ckpt_lib
+    from cvcs_tpu.utils.torch_import import import_swin
+    from cvcs_tpu.utils.torch_swin_ref import TorchSwinUNet
+
+    model, _ = build_model("SwinUnetTiny", 16, dtype=jnp.float32)
+    state = create_train_state(
+        model, build_optimizer("SGD2"),
+        jnp.zeros((1, 32, 32, 3), jnp.uint8))
+    ckpt = ckpt_lib.save_checkpoint(tmp_path, 0, state, [], [], 2, "SGD2")
+    out = tmp_path / "swin.pt"
+    export_cli.export(dict(
+        net="SwinUnetTiny", load_checkpoint=str(ckpt), num_classes=15,
+        patch_size=32, output=str(out), precision="f32"))
+    loaded = torch.load(out, weights_only=True)
+    twin = TorchSwinUNet(num_classes=16, dims=(32, 64, 128, 256),
+                         depths=(1, 1, 2, 1), heads=(1, 2, 4, 8))
+    missing, unexpected = twin.load_state_dict(loaded, strict=True)
+    assert not missing and not unexpected
+    back = import_swin({k: np.asarray(v) for k, v in loaded.items()},
+                       depths=(1, 1, 2, 1))
+    _assert_tree_equal(
+        {"params": state.params, "batch_stats": state.batch_stats}, back)
