@@ -81,10 +81,14 @@ def _build_embedder(config: dict, patch: int):
 
 
 def retrieve(config: dict) -> dict:
+    import time
+
     from cvcs_tpu.config.loader import RETRIEVE_KEYS, validate_keys
 
     validate_keys(config, RETRIEVE_KEYS, {"dataset", "patch_size"},
                   "retrieve")
+    t_start = time.time()
+    timings: dict[str, float] = {}
     patch = int(config["patch_size"])
     num_classes = int(config.get("num_classes", 15)) + 1
     loader = ChunkLoader(config["dataset"], chunk_size=1, patch_size=patch,
@@ -102,10 +106,12 @@ def retrieve(config: dict) -> dict:
     images = np.concatenate(images)
     masks = np.concatenate(masks)
     n = images.shape[0]
+    timings["load_s"] = time.time() - t_start
     print(f"candidate pool: {n} patches", flush=True)
 
     emb = None
     if config.get("net"):
+        t0 = time.time()
         embed, desc = _build_embedder(config, patch)
         parts = []
         bs = int(config.get("batch_size", 16))
@@ -120,8 +126,10 @@ def retrieve(config: dict) -> dict:
                     [sl, np.zeros((bs - real,) + sl.shape[1:], sl.dtype)])
             parts.append(np.asarray(embed(jnp.asarray(sl)))[:real])
         emb = np.concatenate(parts)
+        timings["embeddings_s"] = time.time() - t0
         print(f"embeddings: {desc}, {emb.shape}", flush=True)
 
+    t0 = time.time()
     rng = np.random.default_rng(int(config.get("seed", 0)))
     probes = rng.choice(n, size=min(int(config.get("num_probes", 10)), n),
                         replace=False)
@@ -146,6 +154,7 @@ def retrieve(config: dict) -> dict:
                 metric=config.get("metric", "l2"))
             emb_rankings.append([int(others[k]) for k in order])
 
+    timings["scores_s"] = time.time() - t0
     # the notebook's per-score rankings ARE the output in mask-only mode
     # (this used to compute them and return nothing)
     out = {"num_probes": len(probes), "mask_rankings": mask_rankings}
@@ -156,6 +165,11 @@ def retrieve(config: dict) -> dict:
         print("embedding-vs-EMD agreement "
               "(notebook `scores_evaluation`):", flush=True)
         out["agreement"] = scores_evaluation(emd_rankings, emb_rankings)
+    timings["total_s"] = time.time() - t_start
+    out["timings"] = {k: round(v, 3) for k, v in timings.items()}
+    print("timings: " + "  ".join(f"{k}={v:.2f}s"
+                                  for k, v in out["timings"].items()),
+          flush=True)
     return out
 
 
