@@ -255,6 +255,26 @@ def test_esa_cli(trained_ckpt, gid15_root, tmp_path):
     assert got.shape == (PATCH * 2, PATCH * 3, 3)
 
 
+def test_train_cli_spatial_transpose_warning(gid15_root, tmp_path, capsys):
+    """mesh spatial>1 with a transpose-conv decoder net must surface the
+    measured SPMD re-materialization hazard at build time (BASELINE.md
+    §Blocked) — not only in the perf doc."""
+    from cvcs_tpu.cli import train as train_cli
+
+    cfg = dict(
+        train=str(gid15_root), validation=str(gid15_root), net="Unetv2",
+        epochs=1, chunk_size=2, validation_chunk_size=2, patch_size=PATCH,
+        batch_size=4, loss="CEL", opt="SGD2",
+        checkpoint_directory=str(tmp_path), freq=1,
+        precision_evaluation_freq=5, num_classes=15, precision="f32",
+        mesh={"data": 2, "spatial": 4})
+    train_cli.build_trainer(cfg)
+    assert "re-materialization" in capsys.readouterr().out
+    # bilinear-decoder Unet has no transpose convs: no warning
+    train_cli.build_trainer(dict(cfg, net="Unet"))
+    assert "re-materialization" not in capsys.readouterr().out
+
+
 def test_serve_esa_retrieve_config_validation(gid15_root, tmp_path, capsys):
     """The framework-added entry points validate their configs like the
     reference's original three: missing required keys fail fast, unknown

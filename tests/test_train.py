@@ -92,10 +92,11 @@ def _build_trainer(root, ckpt_dir, epochs=2, eval_freq=2, **cfg_extra):
     example = jnp.zeros((2, PATCH, PATCH, 3), jnp.uint8)
     state = create_train_state(model, optimizer, example)
     loss_fn = build_loss("CEL")
-    cfg = TrainConfig(
+    kw = dict(
         epochs=epochs, batch_size=2, checkpoint_directory=str(ckpt_dir),
-        freq=1, precision_evaluation_freq=eval_freq, num_classes=15,
-        **cfg_extra)
+        freq=1, precision_evaluation_freq=eval_freq, num_classes=15)
+    kw.update(cfg_extra)
+    cfg = TrainConfig(**kw)
     return Trainer(model, spec, state, optimizer, loss_fn,
                    loader, val_loader, cfg, log=lambda s: None)
 
@@ -187,6 +188,40 @@ def test_preemption_during_validation_exits_on_boundary(smoke_setup,
     assert len(trainer.training_loss_values) == 6
     assert ckpt_lib.latest_checkpoint(tmp_path).name == "checkpoint1"
     assert not (tmp_path / "checkpoint0_preempt").exists()
+
+
+def test_preemption_boundary_save_carries_confusion(smoke_setup, tmp_path):
+    """When the preempt-after-validation exit writes its own boundary
+    checkpoint (freq didn't trigger one), it must carry the confusion
+    histories a just-run precision eval produced — resume picks THIS
+    checkpoint, and checkpoint.py's contract is to preserve them."""
+    import json
+
+    trainer = _build_trainer(smoke_setup, tmp_path, epochs=3, eval_freq=1,
+                             freq=5)
+    orig = trainer.evaluate
+
+    def preempting_evaluate(*a, **k):
+        out = orig(*a, **k)
+        trainer._preempted = True   # "SIGTERM mid-eval"
+        return out
+
+    trainer.evaluate = preempting_evaluate
+    trainer.train()
+    meta = json.loads((tmp_path / "checkpoint1" / "meta.json").read_text())
+    assert len(meta["conf_flat"]) == 1
+    assert len(meta["conf_flat"][0]) == 16
+    assert len(meta["conf_normalized"]) == 1
+
+
+def test_trainer_rejects_indivisible_grad_accum(smoke_setup, tmp_path):
+    """Direct Trainer construction (not just the CLI) validates
+    batch_size % grad_accum — otherwise accumulation silently disables
+    (every full batch routes to plain_step) or the stacked multi-step
+    raises at trace time."""
+    with pytest.raises(ValueError, match="divisible by"):
+        _build_trainer(smoke_setup, tmp_path, epochs=1, eval_freq=5,
+                       batch_size=3, grad_accum=2)
 
 
 def test_keep_checkpoints_retention(smoke_setup, tmp_path):
