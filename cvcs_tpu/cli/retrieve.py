@@ -23,6 +23,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,15 +98,19 @@ def retrieve(config: dict) -> dict:
     if config.get("images"):
         loader.specify(config["images"])
 
-    # materialize the whole candidate pool (patch images + masks)
+    # materialize the whole candidate pool ON DEVICE (patch images +
+    # masks). The chunks arrive device-resident from the loader; pulling
+    # them to host and re-uploading per batch/probe cost ~100 MB of
+    # tunnel transfers per run — everything below slices the device pool
+    # in place and syncs to host once per phase.
     images, masks = [], []
     for c in range(len(loader)):
         chunk = loader.get_chunk(c, shuffle_patches=False)
-        images.append(np.asarray(chunk.images))
-        masks.append(np.asarray(chunk.masks))
-    images = np.concatenate(images)
-    masks = np.concatenate(masks)
-    n = images.shape[0]
+        images.append(chunk.images)
+        masks.append(chunk.masks)
+    images = images[0] if len(images) == 1 else jnp.concatenate(images)
+    masks = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
+    n = int(images.shape[0])
     timings["load_s"] = time.time() - t_start
     print(f"candidate pool: {n} patches", flush=True)
 
@@ -113,19 +118,18 @@ def retrieve(config: dict) -> dict:
     if config.get("net"):
         t0 = time.time()
         embed, desc = _build_embedder(config, patch)
-        parts = []
         bs = int(config.get("batch_size", 16))
-        for s in range(0, n, bs):
-            sl = images[s:s + bs]
-            real = sl.shape[0]
-            if real < bs:
-                # zero-pad the tail so the jitted forward compiles ONCE
-                # (a second ragged-shape program costs ~3-5 min through
-                # this machine's remote compiler)
-                sl = np.concatenate(
-                    [sl, np.zeros((bs - real,) + sl.shape[1:], sl.dtype)])
-            parts.append(np.asarray(embed(jnp.asarray(sl)))[:real])
-        emb = np.concatenate(parts)
+        # zero-pad the pool tail once so every batch has one shape and
+        # the jitted forward compiles ONCE (a second ragged-shape program
+        # costs ~3-5 min through this machine's remote compiler)
+        pad = -n % bs
+        pool = (jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+                if pad else images)
+        # enqueue every batch, sync to host ONCE — a per-batch np.asarray
+        # forced a tunnel round trip per batch (measured: 76.8 s for what
+        # is ~1 s of device compute at 960 patches / bs 16)
+        parts = [embed(pool[s:s + bs]) for s in range(0, n + pad, bs)]
+        emb = np.asarray(jnp.concatenate(parts)[:n])
         timings["embeddings_s"] = time.time() - t0
         print(f"embeddings: {desc}, {emb.shape}", flush=True)
 
@@ -134,25 +138,31 @@ def retrieve(config: dict) -> dict:
     probes = rng.choice(n, size=min(int(config.get("num_probes", 10)), n),
                         replace=False)
     topk = int(config.get("topk", 10))
+    # ONE compiled program scoring a probe against the full device pool;
+    # self-matches drop out at ranking time. The previous per-probe
+    # masks[others] host gather + upload + eager per-op dispatch chain
+    # measured 10.9 s/probe through the tunnel.
+    scores_fn = jax.jit(
+        lambda t, q: compute_scores(t, q, num_classes))
     emd_rankings, emb_rankings, mask_rankings = [], [], []
     for probe in probes:
-        others = np.asarray([j for j in range(n) if j != probe])
-        scores = compute_scores(masks[probe], jnp.asarray(masks[others]),
-                                num_classes)
-        ranks = {"probe": int(probe)}
+        probe = int(probe)
+        scores = {k: np.asarray(v)
+                  for k, v in scores_fn(masks[probe], masks).items()}
+        ranks = {"probe": probe}
         for key, higher in (("emd", False), ("miou", True),
                             ("wiou", True), ("pprec", True)):
             order = rank_candidates(scores[key], higher_better=higher)
-            ranks[key] = [int(others[k]) for k in order[:topk]]
+            ranks[key] = [int(k) for k in order if k != probe][:topk]
         mask_rankings.append(ranks)
         emd_rankings.append(
-            [int(others[k]) for k in
-             rank_candidates(scores["emd"], higher_better=False)])
+            [int(k) for k in rank_candidates(scores["emd"],
+                                             higher_better=False)
+             if k != probe])
         if emb is not None:
-            order = rank_by_distance(
-                jnp.asarray(emb[probe]), jnp.asarray(emb[others]),
-                metric=config.get("metric", "l2"))
-            emb_rankings.append([int(others[k]) for k in order])
+            order = rank_by_distance(emb[probe], emb,
+                                     metric=config.get("metric", "l2"))
+            emb_rankings.append([int(k) for k in order if k != probe])
 
     timings["scores_s"] = time.time() - t0
     # the notebook's per-score rankings ARE the output in mask-only mode

@@ -95,21 +95,24 @@ def extract_embedding(model, variables, images: jnp.ndarray,
     raise ValueError(f"unknown pool {pool!r}")
 
 
-def rank_by_distance(probe: jnp.ndarray, candidates: jnp.ndarray,
-                     metric: str = "l2") -> list:
+def rank_by_distance(probe, candidates, metric: str = "l2") -> list:
     """Candidate indices sorted best-first by embedding distance
-    (the notebook's L2 / L1 / cosine rankings)."""
-    p = jnp.asarray(probe, jnp.float32)
-    c = jnp.asarray(candidates, jnp.float32)
+    (the notebook's L2 / L1 / cosine rankings).
+
+    Pure host-side numpy: embeddings are tiny (B, C) vectors and the
+    caller loops per probe — dispatching each ranking to a tunneled
+    device costs a round trip per probe for microseconds of math."""
+    p = np.asarray(probe, np.float32)
+    c = np.asarray(candidates, np.float32)
     if metric == "l2":
-        d = jnp.linalg.norm(c - p[None], axis=-1)
+        d = np.linalg.norm(c - p[None], axis=-1)
     elif metric == "l1":
-        d = jnp.sum(jnp.abs(c - p[None]), axis=-1)
+        d = np.sum(np.abs(c - p[None]), axis=-1)
     elif metric == "cosine":
-        pn = p / jnp.maximum(jnp.linalg.norm(p), 1e-12)
-        cn = c / jnp.maximum(
-            jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+        pn = p / max(np.linalg.norm(p), 1e-12)
+        cn = c / np.maximum(
+            np.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
         d = 1.0 - cn @ pn
     else:
         raise ValueError(f"unknown metric {metric!r}")
-    return list(np.argsort(np.asarray(d)))
+    return list(np.argsort(d))
