@@ -43,7 +43,9 @@ def run(config: dict) -> None:
         InferenceConfig(
             patch_size=p,
             border_correction=config.get("border_correction"),
-            batch_tiles=int(config.get("batch_tiles", 4)),
+            # the measured window-path optimum (BASELINE.md bt sweep);
+            # clamped to the tile count for small rasters
+            batch_tiles=int(config.get("batch_tiles", 128)),
             num_classes=num_classes,
             tta=bool(config.get("tta"))),
         returns_logits=returns_logits,

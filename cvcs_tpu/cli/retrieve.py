@@ -119,16 +119,22 @@ def retrieve(config: dict) -> dict:
         t0 = time.time()
         embed, desc = _build_embedder(config, patch)
         bs = int(config.get("batch_size", 16))
-        # zero-pad the pool tail once so every batch has one shape and
+        # zero-pad only the TAIL batch so every batch has one shape and
         # the jitted forward compiles ONCE (a second ragged-shape program
-        # costs ~3-5 min through this machine's remote compiler)
-        pad = -n % bs
-        pool = (jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
-                if pad else images)
+        # costs ~3-5 min through this machine's remote compiler). Padding
+        # the whole pool would materialize a second full copy in HBM —
+        # the pool scales with the gallery now that patches live on device
         # enqueue every batch, sync to host ONCE — a per-batch np.asarray
         # forced a tunnel round trip per batch (measured: 76.8 s for what
         # is ~1 s of device compute at 960 patches / bs 16)
-        parts = [embed(pool[s:s + bs]) for s in range(0, n + pad, bs)]
+        parts = []
+        for s in range(0, n, bs):
+            batch = images[s:s + bs]
+            short = bs - batch.shape[0]
+            if short:
+                batch = jnp.pad(
+                    batch, ((0, short),) + ((0, 0),) * (images.ndim - 1))
+            parts.append(embed(batch))
         emb = np.asarray(jnp.concatenate(parts)[:n])
         timings["embeddings_s"] = time.time() - t0
         print(f"embeddings: {desc}, {emb.shape}", flush=True)

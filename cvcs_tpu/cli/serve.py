@@ -114,7 +114,10 @@ def serve(config: dict) -> int:
         InferenceConfig(
             patch_size=p,
             border_correction=config.get("border_correction"),
-            batch_tiles=int(config.get("batch_tiles", 4)),
+            # 128 is the measured window-path optimum (BASELINE.md bt
+            # sweep); the engine clamps to the tile count, so small
+            # arrivals never pad up to it
+            batch_tiles=int(config.get("batch_tiles", 128)),
             num_classes=num_classes,
             tta=bool(config.get("tta"))),
         returns_logits=returns_logits,
@@ -149,6 +152,11 @@ def serve(config: dict) -> int:
         # permanently blacklisting valid input mid-copy
         sig = _sig(f)
         prev_n, prev_sig = failures.get(f.name, (0, None))
+        if sig is None:
+            # file vanished mid-failure: journal the last KNOWN signature
+            # so a later same-name replacement still re-admits (a sig-None
+            # error entry would otherwise blacklist the name)
+            sig = prev_sig
         n = prev_n + 1 if sig == prev_sig else 1
         failures[f.name] = (n, sig)
         if n >= max_retries:
@@ -193,10 +201,14 @@ def serve(config: dict) -> int:
     def _admissible(f) -> bool:
         if f.name not in done:
             return True
-        old = error_sigs.get(f.name)
-        if old is None:   # success entry, or legacy error without a sig
+        if f.name not in error_sigs:   # success entry: never re-run
             return False
+        old = error_sigs[f.name]
         cur = _sig(f)
+        # an error entry whose sig is unknown (file vanished before the
+        # give-up stat, or a legacy journal) re-admits as soon as the name
+        # exists again — the present file cannot be proven identical to
+        # the one that failed, and the retry budget bounds the cost
         if cur is not None and cur != old:
             # the journaled error was for a DIFFERENT file content —
             # the operator replaced it; re-admit with a fresh retry budget
