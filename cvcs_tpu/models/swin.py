@@ -21,18 +21,36 @@ optimizes for the MXU rather than torch-layout compatibility:
   a 4x learned upsampling head back to input resolution (the patch embed
   is stride 4);
 * any band count works (4-band NirRGB included): the stem conv infers its
-  input channels.
+  input channels;
+* on TPU, inference runs the pre-MLP half of each block (LN + QKV +
+  masked window attention + out-projection) as ONE fused Pallas kernel
+  (:mod:`cvcs_tpu.ops.pallas_swin`) — the XLA einsum path materializes
+  the (nWin*B, heads, T, T) attention tensor in HBM and runs ~12% MFU
+  (BASELINE.md round-4 trace attribution). Training keeps the einsum
+  path (`fused_attn` docs below).
+
+Parameter-tree compatibility: the attention Dense/LayerNorm weights are
+declared through explicit param-holder modules whose tree paths are
+identical to the previous `nn.Dense`/`nn.LayerNorm` layout
+(``SwinBlock_N/WindowAttention_0/Dense_0 ...``), so checkpoints and the
+torch interop in `utils.torch_import.import_swin` / `torch_export`
+are unaffected.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from cvcs_tpu.models.blocks import DecodeBlock
+from cvcs_tpu.ops.pallas_swin import fused_window_attention
+
+_LN_EPS = 1e-6
 
 
 def _pad_to(x: jnp.ndarray, mult: int):
@@ -105,19 +123,75 @@ def _attn_mask(h: int, w: int, h0: int, w0: int, win: int,
     return keys_ok if region is None else (region & keys_ok)
 
 
+class _DenseParams(nn.Module):
+    """Param holder with ``nn.Dense``-compatible tree paths/inits; lets
+    the fused Pallas path consume raw kernels while the einsum path
+    reproduces ``nn.Dense`` numerics exactly."""
+
+    features_in: int
+    features_out: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.features_in, self.features_out),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features_out,), self.param_dtype)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Param holder with ``nn.LayerNorm``-compatible tree paths/inits."""
+
+    dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,),
+                       self.param_dtype)
+        return s, b
+
+
+def _apply_ln(x, scale, bias, out_dtype):
+    """flax ``nn.LayerNorm`` numerics from raw params: f32 fast-variance
+    stats, y = (x - mean) * (rsqrt(var+eps) * scale) + bias, cast out."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu),
+        0.0)
+    mul = jax.lax.rsqrt(var + _LN_EPS) * scale.astype(jnp.float32)
+    return ((xf - mu) * mul + bias.astype(jnp.float32)).astype(out_dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     heads: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # attribute names ARE the tree names: Dense_0 = qkv, Dense_1 =
+        # out projection (paths pinned by utils.torch_import.import_swin)
+        self.Dense_0 = _DenseParams(self.dim, 3 * self.dim,
+                                    self.param_dtype)
+        self.Dense_1 = _DenseParams(self.dim, self.dim, self.param_dtype)
+
     def __call__(self, x, mask=None):
         # x: (nB, T, C); mask: (nWin, T, T) bool or None
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        dt = self.dtype
+        wqkv, bqkv = self.Dense_0()
+        wout, bout = self.Dense_1()
         nb, t, _ = x.shape
         hd = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, **kw)(x)
+        qkv = jax.lax.dot_general(
+            x.astype(dt), wqkv.astype(dt),
+            (((2,), (0,)), ((), ()))) + bqkv.astype(dt)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         # token-major (nb, T, h, d) straight into the einsums — an
@@ -129,16 +203,26 @@ class WindowAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(hd, self.dtype))
+            jnp.asarray(hd, dt))
         attn = attn.astype(jnp.float32)
         if mask is not None:
             n_win = mask.shape[0]
             attn = attn.reshape(nb // n_win, n_win, self.heads, t, t)
             attn = jnp.where(mask[None, :, None], attn, -1e9)
             attn = attn.reshape(nb, self.heads, t, t)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.softmax(attn, axis=-1).astype(dt)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, t, self.dim)
-        return nn.Dense(self.dim, **kw)(out)
+        return jax.lax.dot_general(
+            out, wout.astype(dt), (((2,), (0,)), ((), ()))) + bout.astype(dt)
+
+    def fused(self, xmap, ln_s, ln_b, np_mask, win):
+        """Fused Pallas path: LN + QKV + attention + out-projection over
+        the (rolled, window-padded) feature map. See ops.pallas_swin."""
+        wqkv, bqkv = self.Dense_0()
+        wout, bout = self.Dense_1()
+        return fused_window_attention(
+            xmap.astype(self.dtype), ln_s, ln_b, wqkv, bqkv, wout, bout,
+            np_mask, win=win, heads=self.heads)
 
 
 class SwinBlock(nn.Module):
@@ -147,11 +231,28 @@ class SwinBlock(nn.Module):
     window: int
     shifted: bool
     mlp_ratio: int = 4
+    fused_attn: bool | None = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
+    def _use_fused(self, train: bool) -> bool:
+        """Fused kernel policy: training keeps the einsum path (the
+        custom VJP recomputes a full forward — only worth it if measured
+        to win); `fused_attn` None = auto (TPU backend only), True
+        forces it on (interpreter mode off-TPU — for tests), False
+        forces it off. CVCS_TPU_FUSED_ATTN=0 is the global escape hatch
+        (e.g. GSPMD-sharded programs where an unpartitioned Pallas call
+        would force gathers)."""
+        if os.environ.get("CVCS_TPU_FUSED_ATTN", "1") == "0":
+            return False
+        if self.fused_attn is False or train:
+            return False
+        if self.fused_attn is None:
+            return jax.default_backend() == "tpu"
+        return True
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         b, h0, w0, c = x.shape
         win = min(self.window, h0, w0)
@@ -163,16 +264,34 @@ class SwinBlock(nn.Module):
         shift = (win // 2 if (self.shifted and win > 1
                               and min(h0, w0) > win) else 0)
 
-        y = nn.LayerNorm(**kw)(x_pad)
-        if shift:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        ln1_s, ln1_b = _LNParams(c, self.param_dtype,
+                                 name="LayerNorm_0")()
+        attn = WindowAttention(c, self.heads, name="WindowAttention_0",
+                               **kw)
         np_mask = _attn_mask(h, w, h0, w0, win, shift)
-        mask = jnp.asarray(np_mask) if np_mask is not None else None
-        tokens = _window_partition(y, win)
-        tokens = WindowAttention(c, self.heads, **kw)(tokens, mask)
-        y = _window_merge(tokens, win, h, w)
-        if shift:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+
+        # degenerate windows (clamped below 4: 1x1/2x2/3x3 maps) have
+        # nothing to fuse and their unit-dim reshapes are unsupported by
+        # the Mosaic lowering — the einsum path handles them
+        if self._use_fused(train) and win >= 4:
+            # LN is position-wise, so it commutes with the roll: the
+            # kernel sees the rolled raw map and applies LN inside.
+            y = x_pad
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = attn.fused(y, ln1_s, ln1_b, np_mask, win)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        else:
+            y = _apply_ln(x_pad, ln1_s, ln1_b, self.dtype)
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(np_mask) if np_mask is not None else None
+            tokens = _window_partition(y, win)
+            tokens = attn(tokens, mask)
+            y = _window_merge(tokens, win, h, w)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
         # slice the pad region off BEFORE the residual + MLP: LayerNorm
         # and the MLP are position-wise, so running them on pad tokens
         # (stages whose maps don't tile by the window, e.g. 28->32 and
@@ -181,7 +300,7 @@ class SwinBlock(nn.Module):
         # real tokens; the MLP is the encoder's FLOP bulk.
         x = x + y[:, :h0, :w0]
 
-        y = nn.LayerNorm(**kw)(x)
+        y = nn.LayerNorm(name="LayerNorm_1", **kw)(x)
         y = nn.Dense(c * self.mlp_ratio, **kw)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, **kw)(y)
@@ -192,6 +311,10 @@ class SwinUNet(nn.Module):
     """Swin-T encoder (depths 2/2/6/2) + UNet decoder, any band count.
 
     Protocol: ``requires_context = False``, ``returns_logits = True``.
+
+    ``fused_attn``: None (default) = fused Pallas window attention on
+    TPU inference, einsum elsewhere; True = force fused (interpreter
+    mode off-TPU — tests); False = force einsum.
     """
 
     num_classes: int
@@ -199,6 +322,7 @@ class SwinUNet(nn.Module):
     depths: Sequence[int] = (2, 2, 6, 2)
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 8
+    fused_attn: bool | None = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -222,7 +346,8 @@ class SwinUNet(nn.Module):
                 x = nn.LayerNorm(**kw)(x)
             for blk in range(self.depths[stage]):
                 x = SwinBlock(self.dims[stage], self.heads[stage],
-                              self.window, shifted=bool(blk % 2), **kw)(x)
+                              self.window, shifted=bool(blk % 2),
+                              fused_attn=self.fused_attn, **kw)(x, train)
             skips.append(x)
 
         y = skips[-1]

@@ -1,0 +1,146 @@
+"""Fused window-attention Pallas kernel vs the einsum path.
+
+Runs the kernel in interpreter mode on the CPU backend (the model's
+`fused_attn=True` forces the fused branch; `interpret` auto-selects).
+Covers every mask regime the Swin stages hit: unshifted full-tiling
+(maskless), shifted (region mask), padded (key-validity mask), shifted +
+padded (combined), and the clamped single-window stage (win = min(H, W),
+shift disabled). Reference: the einsum path these numerics shadow is
+the round-4-measured `models/swin.py` WindowAttention.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvcs_tpu.models.swin import SwinBlock, SwinUNet, _attn_mask
+from cvcs_tpu.ops.pallas_swin import (_pick_bb, _reference_fused,
+                                      fused_window_attention)
+
+
+def _block_pair(dim=16, heads=2, window=4, shifted=False):
+    kw = dict(dim=dim, heads=heads, window=window, shifted=shifted)
+    return (SwinBlock(fused_attn=True, **kw),
+            SwinBlock(fused_attn=False, **kw))
+
+
+def _run_pair(shape, dim=16, heads=2, window=4, shifted=False, seed=0):
+    fused, plain = _block_pair(dim, heads, window, shifted)
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), shape, jnp.float32)
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(rng, x)
+    y_plain = plain.apply(variables, x)
+    y_fused = fused.apply(variables, x)
+    return np.asarray(y_plain, np.float32), np.asarray(y_fused, np.float32)
+
+
+@pytest.mark.parametrize("case", [
+    dict(shape=(2, 8, 8, 16)),                      # maskless, 2x2 windows
+    dict(shape=(2, 8, 8, 16), shifted=True),        # region mask
+    dict(shape=(1, 7, 10, 16)),                     # pad-validity mask
+    dict(shape=(2, 7, 10, 16), shifted=True),       # combined mask
+    dict(shape=(2, 4, 4, 16)),                      # single window, clamped
+    dict(shape=(2, 3, 3, 16), window=8),            # win clamps to 3, T=9
+    dict(shape=(3, 8, 12, 16), shifted=True),       # B=3 (bb divisor path)
+])
+def test_fused_matches_einsum_block(case):
+    shape = case.pop("shape")
+    y_plain, y_fused = _run_pair(shape, **case)
+    assert y_fused.shape == y_plain.shape
+    scale = max(1.0, float(np.abs(y_plain).max()))
+    np.testing.assert_allclose(y_fused, y_plain, atol=3e-2 * scale)
+
+
+def test_fused_full_model():
+    """Whole SwinUNet (tiny dims) fused vs einsum — exercises all four
+    stages incl. the padded 28->32-style grids at a 32px input."""
+    kw = dict(num_classes=5, dims=(8, 16, 32, 64), depths=(1, 1, 2, 1),
+              heads=(1, 2, 4, 8), window=4)
+    plain = SwinUNet(fused_attn=False, **kw)
+    fused = SwinUNet(fused_attn=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 4))
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y_plain = np.asarray(plain.apply(variables, x))
+    y_fused = np.asarray(fused.apply(variables, x))
+    scale = max(1.0, float(np.abs(y_plain).max()))
+    np.testing.assert_allclose(y_fused, y_plain, atol=5e-2 * scale)
+
+
+def test_fused_train_flag_uses_einsum():
+    """train=True must bypass the kernel even with fused_attn=True —
+    the two paths differ at bf16 rounding points, so bit-identical
+    outputs prove the einsum branch ran."""
+    fused, plain = _block_pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 16))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y_f = plain.apply(variables, x, True)
+    y_p = fused.apply(variables, x, True)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_p))
+
+
+def test_fused_grad_matches_einsum():
+    """custom VJP (recompute through the jnp twin) vs einsum-path grads."""
+    fused, plain = _block_pair(shifted=True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 16))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        def f(v, xx):
+            return jnp.sum(jnp.square(m.apply(v, xx).astype(jnp.float32)))
+        return f
+
+    g_plain = jax.grad(loss(plain))(variables, x)
+    g_fused = jax.grad(loss(fused))(variables, x)
+    flat_p = jax.tree_util.tree_leaves(g_plain)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    for a, b in zip(flat_p, flat_f):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=5e-2 * scale)
+
+
+def test_env_escape_hatch(monkeypatch):
+    """CVCS_TPU_FUSED_ATTN=0 forces the einsum branch (bit-identical)."""
+    fused, plain = _block_pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 16))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CVCS_TPU_FUSED_ATTN", "0")
+    y_f = fused.apply(variables, x)
+    y_p = plain.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_p))
+
+
+def test_reference_twin_matches_kernel():
+    """The custom-VJP recompute twin must track the kernel itself."""
+    rng = np.random.default_rng(0)
+    b, hp, wp, c, heads, win = 2, 8, 12, 16, 2, 4
+    t = win * win
+    x = jnp.asarray(rng.standard_normal((b, hp, wp, c)), jnp.bfloat16)
+    ln_s = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.1, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    mask = _attn_mask(hp, wp, hp, wp, win, win // 2)
+    y_k = fused_window_attention(x, ln_s, ln_b, wqkv, bqkv, wout, bout,
+                                 mask, win=win, heads=heads)
+    bias = jnp.asarray(np.where(mask, 0.0, -1e9).astype(np.float32))
+    y_r = _reference_fused(x, ln_s, ln_b, wqkv, bqkv, wout, bout, bias,
+                           win=win, heads=heads)
+    a, r = np.asarray(y_k, np.float32), np.asarray(y_r, np.float32)
+    scale = max(1.0, float(np.abs(r).max()))
+    np.testing.assert_allclose(a, r, atol=3e-2 * scale)
+
+
+def test_pick_bb_divides():
+    for batch in (1, 2, 3, 7, 32, 64, 128):
+        for tokens, cols in ((448, 288), (256, 576), (128, 1152),
+                             (49, 2304)):
+            bb = _pick_bb(batch, tokens, cols)
+            assert 1 <= bb <= batch and batch % bb == 0
