@@ -138,18 +138,26 @@ def build_ensemble(config: dict, patch_size: int) -> Ensemble:
 
 def build_apply(config: dict, patch_size: int):
     """``(apply_fn, variables, num_classes, returns_logits,
-    requires_context)`` for a config's net — dispatching ``net: Ensemble``
-    the way the reference's `load_network` does (`utils.py:174-195`) — so
-    every inference-side CLI (predict/esa/serve) shares one construction
-    path and all of them accept ensembles."""
+    requires_context, stride_product)`` for a config's net — dispatching
+    ``net: Ensemble`` the way the reference's `load_network` does
+    (`utils.py:174-195`) — so every inference-side CLI (predict/esa/serve)
+    shares one construction path and all of them accept ensembles.
+    ``stride_product`` is the model's fullconv divisibility constraint
+    (ModelSpec field; max over ensemble members — all powers of two, so
+    max == lcm)."""
+    from cvcs_tpu.models.registry import MODEL_REGISTRY
+
     if config.get("net") == "Ensemble":
         ens = build_ensemble(config, patch_size)
+        stride = max((MODEL_REGISTRY[m.name].stride_product
+                      for m in ens.members), default=1)
         return (ens.apply, ens.member_variables, ens.num_classes,
-                ens.returns_logits, ens.requires_context)
+                ens.returns_logits, ens.requires_context, stride)
     model, spec, num_classes = build_net(config)
     variables = restore_variables(config, model, patch_size)
     return (model.apply, variables, num_classes,
-            spec.returns_logits, spec.requires_context)
+            spec.returns_logits, spec.requires_context,
+            spec.stride_product)
 
 
 def resolve_config_arg(argv) -> dict:
@@ -160,6 +168,20 @@ def resolve_config_arg(argv) -> dict:
     config = load_yaml(argv[1])
     display_configs(config)
     return config
+
+
+def fetch_labels(labels) -> list:
+    """Batch-sync a list of per-raster device label maps to host uint8 in
+    ONE ``jax.device_get`` (the per-raster transfers overlap via
+    copy_to_host_async) — per-raster syncs pay a device round-trip each,
+    the largest of the three attributed tunnel costs in the retrieve CLI
+    measurement (BASELINE.md). Host arrays pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.device_get([
+        lab.astype(jnp.uint8) if isinstance(lab, jax.Array) else lab
+        for lab in labels])
 
 
 def segment_rasters(seg, rasters, mesh=None) -> list:

@@ -37,7 +37,8 @@ def run(config: dict) -> None:
     p = int(config.get("patch_size", 512))
 
     (apply_fn, variables, num_classes,
-     returns_logits, requires_context) = common.build_apply(config, p)
+     returns_logits, requires_context,
+     stride_product) = common.build_apply(config, p)
     seg = SceneSegmenter(
         apply_fn, variables,
         InferenceConfig(
@@ -49,7 +50,8 @@ def run(config: dict) -> None:
             num_classes=num_classes,
             tta=bool(config.get("tta"))),
         returns_logits=returns_logits,
-        requires_context=requires_context)
+        requires_context=requires_context,
+        stride_product=stride_product)
 
     out_image = config.get("out_image", "output_esa.png")
 
@@ -62,8 +64,8 @@ def run(config: dict) -> None:
     # same-shape batches run as one jitted program (small-scene workloads
     # like ESA amortize dispatch); with a mesh, full groups of n_data
     # rasters run scene-parallel — see common.segment_rasters
-    per_scene = common.segment_rasters(
-        seg, rasters, common.mesh_from_config(config))
+    per_scene = common.fetch_labels(common.segment_rasters(
+        seg, rasters, common.mesh_from_config(config)))
     for i, labels in enumerate(per_scene):
         if config.get("output"):
             out_dir = (config["output"] if len(per_scene) == 1

@@ -49,7 +49,7 @@ def evaluate(config: dict) -> dict:
     # donation/sharing).
     import jax
 
-    apply_fn, variables, _, returns_logits, _ = common.build_apply(
+    apply_fn, variables, _, returns_logits, _, _ = common.build_apply(
         config, config["patch_size"])
     if mesh is not None:
         variables = mesh_lib.replicate(variables, mesh)

@@ -39,7 +39,8 @@ def predict(config: dict) -> None:
     # vote jit into the same whole-scene program; member weights ride as
     # the traced variables pytree.
     (apply_fn, variables, num_classes,
-     returns_logits, requires_context) = common.build_apply(config, p)
+     returns_logits, requires_context,
+     stride_product) = common.build_apply(config, p)
     infer_cfg = InferenceConfig(
         patch_size=p,
         border_correction=config.get("border_correction"),
@@ -51,7 +52,8 @@ def predict(config: dict) -> None:
         tta=bool(config.get("tta")))
     seg = SceneSegmenter(apply_fn, variables, infer_cfg,
                          returns_logits=returns_logits,
-                         requires_context=requires_context)
+                         requires_context=requires_context,
+                         stride_product=stride_product)
     mesh = common.mesh_from_config(config)
 
     if "range" in config and config["range"]:

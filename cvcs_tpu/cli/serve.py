@@ -43,10 +43,35 @@ import time
 
 import numpy as np
 
+from cvcs_tpu import native
 from cvcs_tpu.cli import common
 from cvcs_tpu.infer import InferenceConfig, SceneSegmenter
 
 RASTER_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
+# formats the C++ tier decodes; jpegs always take the PIL path
+NATIVE_SUFFIXES = {".png", ".tif", ".tiff"}
+
+
+def _decode_rgb(f) -> np.ndarray:
+    """Raster -> (H, W, 3) uint8 through the native tier (pulls the
+    poll-time prefetch; decodes inline on a miss) with PIL fallback for
+    jpeg / exotic sub-formats. Raises on genuinely bad input so the
+    caller's retry/journal machinery engages."""
+    arr = native.take(f) if f.suffix.lower() in NATIVE_SUFFIXES else None
+    if arr is not None:
+        if arr.ndim == 2:
+            return np.repeat(arr[..., None], 3, axis=2)
+        if arr.shape[2] >= 3:
+            return np.ascontiguousarray(arr[..., :3])
+        # 2-channel (LA etc.): let PIL's conversion rules decide
+    from PIL import Image
+
+    return np.asarray(Image.open(f).convert("RGB"))
+
+
+# module-level alias so tools/serve_bench.py can wrap it for phase
+# attribution
+_fetch_labels = common.fetch_labels
 
 
 def _read_journal(manifest) -> tuple[set, dict, dict]:
@@ -108,7 +133,8 @@ def serve(config: dict) -> int:
 
     p = int(config.get("patch_size", 512))
     (apply_fn, variables, num_classes,
-     returns_logits, requires_context) = common.build_apply(config, p)
+     returns_logits, requires_context,
+     stride_product) = common.build_apply(config, p)
     seg = SceneSegmenter(
         apply_fn, variables,
         InferenceConfig(
@@ -121,7 +147,8 @@ def serve(config: dict) -> int:
             num_classes=num_classes,
             tta=bool(config.get("tta"))),
         returns_logits=returns_logits,
-        requires_context=requires_context)
+        requires_context=requires_context,
+        stride_product=stride_product)
     mesh = common.mesh_from_config(config)
 
     poll_s = float(config.get("poll_s", 2.0))
@@ -174,6 +201,17 @@ def serve(config: dict) -> int:
 
     def export(batch, labels, t0) -> None:
         nonlocal n_processed
+        # ONE synced transfer for the whole batch: per-raster device_get
+        # pays a tunnel/PCIe round-trip each (measured on the retrieve
+        # CLI: batched sync was the largest of its three fixes), so cast
+        # to uint8 on device and device_get the list at once —
+        # copy_to_host_async overlaps the per-raster transfers
+        labels = _fetch_labels(labels)
+        # two passes: queue every mask on the native writer thread first
+        # (palette decode + PNG encode overlap), flush ONCE, and only
+        # then journal — a crash between queue and flush must not leave
+        # journaled-done entries whose mask files never landed
+        masks, queued = [], False
         for f, lab in zip(batch, labels):
             mask = f"{f.stem}_mask.png"
             if claimed.get(mask, f.name) != f.name:
@@ -181,7 +219,15 @@ def serve(config: dict) -> int:
                 # mask name — disambiguate instead of overwriting
                 mask = f"{f.stem}{f.suffix.replace('.', '_')}_mask.png"
             claimed[mask] = f.name
-            seg.export_map(lab, out_dir / mask)
+            queued |= seg.export_map(lab, out_dir / mask,
+                                     queue_native=True)
+            masks.append(mask)
+        if queued:
+            n_failed = native.flush_writes()
+            if n_failed:
+                raise IOError(f"{n_failed} mask PNG writes failed under "
+                              f"{out_dir}")
+        for f, lab, mask in zip(batch, labels, masks):
             journal({"name": f.name, "mask": mask,
                      "shape": list(lab.shape), "batch": len(batch),
                      "batch_seconds": round(time.time() - t0, 3)})
@@ -237,11 +283,17 @@ def serve(config: dict) -> int:
         for files in groups.values():
             for i in range(0, len(files), max_batch):
                 chunk = files[i:i + max_batch]
+                # kick the C++ decoder thread for the whole chunk before
+                # the first blocking take(): later files decode while
+                # earlier ones upload/segment (SURVEY §3.1 I/O hot spot;
+                # the tier exists for exactly this daemon's bottleneck)
+                for f in chunk:
+                    if f.suffix.lower() in NATIVE_SUFFIXES:
+                        native.prefetch(f)
                 batch, rasters = [], []
                 for f in chunk:   # decode bounded to one batch
                     try:
-                        rasters.append(
-                            np.asarray(Image.open(f).convert("RGB")))
+                        rasters.append(_decode_rgb(f))
                         batch.append(f)
                     except Exception as err:
                         fail(f, err)

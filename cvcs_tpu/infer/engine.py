@@ -88,12 +88,16 @@ class SceneSegmenter:
         config: InferenceConfig,
         returns_logits: bool = True,
         requires_context: bool = False,
+        stride_product: int = 1,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
         self.cfg = config
         self.returns_logits = returns_logits
         self.requires_context = requires_context
+        # the model's fullconv divisibility constraint (ModelSpec
+        # .stride_product); 1 = unconstrained (DeepLab heads resize)
+        self.stride_product = stride_product
         if config.tta and not returns_logits:
             raise ValueError(
                 "tta averages logits over the dihedral flips — a "
@@ -424,6 +428,38 @@ class SceneSegmenter:
         return np.concatenate(host_bands, axis=0)
 
     # -- full-convolutional banded path (opt-in, beyond-reference) -------------
+    def _check_fullconv_divisible(self, halo: int, band_heights, width: int):
+        """Up-front shape contract for the fullconv paths: every
+        halo-padded band the model will forward must be a multiple of the
+        model's stride product, or the forward fails deep inside the
+        decoder (UNet skip-concat shape error) / silently misaligns
+        (Swin/SegFormer decoders overshoot the band). Raise a
+        config-level error that names the knobs instead."""
+        s = self.stride_product
+        if s <= 1:
+            return
+        bad = sorted({d for d in set(band_heights) | {width} if d % s})
+        if bad:
+            p = self.cfg.patch_size
+            raise ValueError(
+                f"fullconv band shape(s) {bad} are not divisible by the "
+                f"model's stride product {s}: with patch_size={p} and "
+                f"halo={halo}, each band is (fullconv_bands*{p} + "
+                f"2*{halo}) rows (the tail band may be shorter) x "
+                f"(cols*{p} + 2*{halo}) columns — pick fullconv_bands / "
+                f"border_correction (halo = (border_correction - "
+                f"patch_size)/2) so both are multiples of {s}, or crop "
+                f"the scene's tile grid")
+
+    def _fullconv_band_heights(self, rows: int, band_rows: int, p: int,
+                               halo: int) -> list[int]:
+        """Padded heights of the full bands plus the (possibly shorter)
+        tail band."""
+        heights = []
+        for r0 in range(0, rows, band_rows):
+            heights.append(min(band_rows, rows - r0) * p + 2 * halo)
+        return heights
+
     def _fullconv_forward(self, variables, band_pad, out_h: int, out_w: int,
                           halo: int):
         """One halo-padded band -> (out_h, out_w) uint8 labels via a single
@@ -473,6 +509,9 @@ class SceneSegmenter:
                 f"scene {scene.shape[:2]} is smaller than one "
                 f"{p}x{p} patch — nothing to segment")
         w = cols * p
+        self._check_fullconv_divisible(
+            halo, self._fullconv_band_heights(rows, band_rows, p, halo),
+            w + 2 * halo)
         right = min(scene.shape[1], w + halo)   # real pixels where present
         zr = halo - (right - w)
         host_bands = []
@@ -580,6 +619,18 @@ class SceneSegmenter:
             raise ValueError(
                 f"col_tiles={col_tiles} must be a positive divisor of "
                 f"the scene's {cols} tile columns")
+        if col_tiles is None:
+            self._check_fullconv_divisible(
+                halo, self._fullconv_band_heights(rows, band_rows, p, halo),
+                w + 2 * halo)
+        else:
+            rt0 = row_tiles or band_rows
+            heights = [rt0 * p + 2 * halo] + [
+                bh for bh in self._fullconv_band_heights(
+                    rows, band_rows, p, halo)
+                if (bh - 2 * halo) // p % rt0]   # tail fallback blocks
+            self._check_fullconv_divisible(
+                halo, heights, col_tiles * p + 2 * halo)
         for r0 in range(0, rows, band_rows):
             br = min(band_rows, rows - r0)
             if col_tiles is None:
@@ -637,6 +688,10 @@ class SceneSegmenter:
             raise ValueError(
                 f"row_tiles={row_tiles} must divide the per-device "
                 f"{rows_local} tile rows")
+        self._check_fullconv_divisible(
+            halo, [rt * p + 2 * halo] if col_tiles is not None
+            else [rows_local * p + 2 * halo],
+            (col_tiles if col_tiles is not None else cols) * p + 2 * halo)
         scene = jnp.asarray(scene)[:h, :w]
         scene_pad_cols = jnp.pad(scene, ((0, 0), (halo, halo), (0, 0)))
 
@@ -899,13 +954,28 @@ class SceneSegmenter:
                     f"{failures} patch PNG writes failed under {out_dir}")
         return paths
 
-    def export_map(self, labels: jnp.ndarray, path) -> None:
+    def export_map(self, labels: jnp.ndarray, path, *,
+                   queue_native: bool = False) -> bool:
         """Stitched full-scene color map (`inference.py:40-57` `out_image`),
-        written once from the on-device canvas — no tile re-reads."""
+        written once from the on-device canvas — no tile re-reads.
+
+        ``queue_native=True`` hands the PNG encode to the C++ writer
+        thread (overlaps device compute even on this box's single core —
+        the serve daemon's measured bottleneck is exactly this host
+        encode, BASELINE.md serve section) and returns True; the caller
+        MUST ``native.flush_writes()`` before relying on the file. Falls
+        back to the synchronous PIL write (returns False) when the
+        native tier is unavailable."""
+        rgb = self.palette.decode_u8_host(_labels_to_host(labels))
+        if queue_native:
+            from cvcs_tpu import native
+
+            if native.write_png_async(path, rgb):
+                return True
         from PIL import Image
 
-        rgb = self.palette.decode_u8_host(_labels_to_host(labels))
         Image.fromarray(rgb).save(path)
+        return False
 
     def _write_figure(self, path, image_tile, pred_rgb_tile, gt_rgb_tile):
         """One 3-panel (image / [ground truth] / prediction) figure — the

@@ -39,17 +39,28 @@ class ModelSpec:
     # the torch checkpoint importer uses it to strip "module."/"model."
     # prefixes.
     wrapper: bool = False
+    # full-convolution divisibility: input H/W must be multiples of this
+    # for the forward to return an exactly input-aligned label map (the
+    # UNet family's skip-concats crash otherwise; Swin/SegFormer decoders
+    # would overshoot). DeepLab heads resize logits to the input size, so
+    # any shape works (1). The inference engine checks band shapes against
+    # this up-front (`infer/engine.py predict_scene_fullconv`).
+    stride_product: int = 1
 
 
 MODEL_REGISTRY: dict[str, ModelSpec] = {
-    "Unet": ModelSpec("Unet", lambda num_classes, **kw: unet(num_classes, **kw)),
+    "Unet": ModelSpec(
+        "Unet", lambda num_classes, **kw: unet(num_classes, **kw),
+        stride_product=16),
     "Unetv2": ModelSpec(
-        "Unetv2", lambda num_classes, **kw: unet_v2(num_classes, **kw)),
+        "Unetv2", lambda num_classes, **kw: unet_v2(num_classes, **kw),
+        stride_product=16),
     # TPU perf variant (opt-in, non-parity weights): space-to-depth stem,
     # every level at half resolution — see models/unet.py docstring.
     "Unetv2S2D": ModelSpec(
         "Unetv2S2D",
-        lambda num_classes, **kw: unet_v2(num_classes, stem="s2d", **kw)),
+        lambda num_classes, **kw: unet_v2(num_classes, stem="s2d", **kw),
+        stride_product=32),
     "Resnet101": ModelSpec(
         "Resnet101",
         lambda num_classes, **kw: DeepLabV3(
@@ -79,27 +90,29 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         "SegformerMod",
         lambda num_classes, **kw: SegFormer(
             num_classes=num_classes, config=MIT_B3, **kw),
-        wrapper=True),
+        wrapper=True, stride_product=4),
     "SegformerB0": ModelSpec(
         "SegformerB0",
         lambda num_classes, **kw: SegFormer(
             num_classes=num_classes, config=MIT_B0, **kw),
-        wrapper=True),
+        wrapper=True, stride_product=4),
     "SegformerB1": ModelSpec(
         "SegformerB1",
         lambda num_classes, **kw: SegFormer(
             num_classes=num_classes, config=MIT_B1, **kw),
-        wrapper=True),
+        wrapper=True, stride_product=4),
     # The Swin-UNet hybrid the reference's docs advertise ("TSwin"/"BSwin")
     # but never implemented (SURVEY quirk 10) — multispectral-ready.
     "SwinUnet": ModelSpec(
         "SwinUnet",
-        lambda num_classes, **kw: SwinUNet(num_classes=num_classes, **kw)),
+        lambda num_classes, **kw: SwinUNet(num_classes=num_classes, **kw),
+        stride_product=32),
     "SwinUnetTiny": ModelSpec(
         "SwinUnetTiny",
         lambda num_classes, **kw: SwinUNet(
             num_classes=num_classes, dims=(32, 64, 128, 256),
-            depths=(1, 1, 2, 1), heads=(1, 2, 4, 8), **kw)),
+            depths=(1, 1, 2, 1), heads=(1, 2, 4, 8), **kw),
+        stride_product=32),
 }
 
 

@@ -58,7 +58,7 @@ def main():
     cfg = dict(net="Ensemble", ensemble_config=ens_yaml, num_classes=15,
                precision="bf16")
     (apply_fn, variables, num_classes,
-     returns_logits, requires_context) = common.build_apply(cfg, PATCH)
+     returns_logits, requires_context, _) = common.build_apply(cfg, PATCH)
     seg = SceneSegmenter(
         apply_fn, variables,
         InferenceConfig(patch_size=PATCH, border_correction=BC,

@@ -28,7 +28,29 @@ MAX_BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 def main():
     from PIL import Image
 
+    from cvcs_tpu import native
     from cvcs_tpu.cli import serve as serve_cli
+    from cvcs_tpu.infer import SceneSegmenter
+
+    # phase attribution (round-4 verdict #2): where does the daemon's
+    # wall time go once the native tier carries decode + mask export?
+    phases = {"decode": 0.0, "sync": 0.0, "export_queue": 0.0,
+              "flush": 0.0}
+
+    def timed(key, fn):
+        def wrapper(*a, **k):
+            t = time.time()
+            try:
+                return fn(*a, **k)
+            finally:
+                phases[key] += time.time() - t
+        return wrapper
+
+    serve_cli._decode_rgb = timed("decode", serve_cli._decode_rgb)
+    serve_cli._fetch_labels = timed("sync", serve_cli._fetch_labels)
+    SceneSegmenter.export_map = timed("export_queue",
+                                      SceneSegmenter.export_map)
+    native.flush_writes = timed("flush", native.flush_writes)
 
     root = Path(tempfile.mkdtemp(prefix="serve_bench_"))
     watch = root / "in"
@@ -67,6 +89,15 @@ def main():
           f"{warm_rasters / warm_s:.2f} rasters/s "
           f"({warm_rasters * tiles_per_raster / warm_s:.1f} tiles512/s "
           f"incl. decode+export+journal)")
+    other = wall - sum(phases.values())
+    print(f"PHASES (whole run incl. compile batch): "
+          f"decode {phases['decode']:.2f}s, "
+          f"label-sync {phases['sync']:.2f}s (incl. first-batch "
+          f"compile wait), "
+          f"export-queue {phases['export_queue']:.2f}s, "
+          f"flush-wait {phases['flush']:.2f}s, "
+          f"segment+poll+journal {other:.2f}s "
+          f"(native tier: {'ON' if native.load() is not None else 'OFF'})")
 
 
 if __name__ == "__main__":
