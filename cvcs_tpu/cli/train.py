@@ -148,6 +148,21 @@ def build_trainer(config: dict) -> Trainer:
                 "convs under row sharding — profile a step on real "
                 "hardware before production use (BASELINE.md §Blocked)",
                 flush=True)
+        if config["net"].startswith(("Swin", "Segformer")):
+            # measured (round-5 HLO census, tools/spatial_hlo_audit.py):
+            # roll/window-partition (Swin) and sr-attention (SegFormer)
+            # each cost a handful of full-frame all-gathers under row
+            # sharding — bounded (total gather volume ~ one activation,
+            # far below the grad all-reduce), but not free
+            print(
+                "[cvcs_tpu] note: mesh spatial="
+                f"{dict(mesh.shape)['spatial']} with an attention net "
+                f"({config['net']}): GSPMD inserts a handful of "
+                "full-frame all-gathers around window/roll (Swin) or "
+                "sr-attention (SegFormer) ops — bounded volume by HLO "
+                "census, but profile a step before production use "
+                "(BASELINE.md round-5 spatial audit)",
+                flush=True)
     trainer = Trainer(model, spec, state, optimizer, loss_fn,
                       loader_train, loader_val, train_cfg,
                       mesh=mesh)

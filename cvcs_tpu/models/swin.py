@@ -62,6 +62,19 @@ def _pad_to(x: jnp.ndarray, mult: int):
     return x, (h, w)
 
 
+def _fused_fits(h: int, w: int, c: int, win: int) -> bool:
+    """Fused-kernel admission: program size (unrolled window columns)
+    and estimated scoped-VMEM footprint — one window row of x/qkv/f32
+    transients (~M*C*16 bytes, M = win*w tokens) plus the whole
+    (nWin, T, T) f32 mask. Measured failure shapes (round-5 fullconv
+    probe): 7200-wide bands at 31-34 MB vs the 16 MB stack limit."""
+    if w // win > 64:
+        return False
+    row_bytes = win * w * c * 16
+    mask_bytes = (h // win) * (w // win) * win ** 4 * 4
+    return row_bytes + mask_bytes <= 6 << 20
+
+
 def _window_partition(x: jnp.ndarray, win: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = x.reshape(b, h // win, win, w // win, win, c)
@@ -272,8 +285,20 @@ class SwinBlock(nn.Module):
 
         # degenerate windows (clamped below 4: 1x1/2x2/3x3 maps) have
         # nothing to fuse and their unit-dim reshapes are unsupported by
-        # the Mosaic lowering — the einsum path handles them
-        if self._use_fused(train) and win >= 4:
+        # the Mosaic lowering — the einsum path handles them. Big maps
+        # (fullconv bands) fall back to einsum too, for two measured
+        # reasons (round-5 fullconv probe on the real chip): (a) the
+        # kernel unrolls a static loop over window COLUMNS, so program
+        # size grows with w/win — a 7200-wide band exceeded the remote-
+        # compile payload limit (HTTP 413); (b) scoped VMEM scales with
+        # one window row (M = win*Wp tokens: x + qkv + f32 LN/out
+        # transients ~ M*C*16 bytes) plus the whole (nWin, T, T) f32
+        # mask — 7200-wide bands hit 31-34 MB vs the 16 MB stack limit.
+        # Bound both: <= 64 columns and ~<= 6 MB estimated footprint
+        # (every window-path shape through bc 512 passes; band shapes
+        # fall back to einsum).
+        if (self._use_fused(train) and win >= 4
+                and _fused_fits(h, w, c, win)):
             # LN is position-wise, so it commutes with the roll: the
             # kernel sees the rolled raw map and applies LN inside.
             y = x_pad

@@ -103,6 +103,44 @@ def test_fused_grad_matches_einsum():
         np.testing.assert_allclose(b, a, atol=5e-2 * scale)
 
 
+def test_wide_map_falls_back_to_einsum(monkeypatch):
+    """Maps wider than 64 window columns (fullconv bands) must take the
+    einsum branch: the kernel unrolls a static loop over window columns,
+    and at band width the program exceeds the remote-compile payload
+    limit (round-5 fullconv probe on the real chip)."""
+    from cvcs_tpu.models import swin as swin_mod
+
+    def boom(*a, **k):
+        raise AssertionError("fused kernel called for a wide map")
+
+    monkeypatch.setattr(swin_mod.WindowAttention, "fused", boom)
+    # 65 window columns > the 64-column program-size gate
+    fused, plain = _block_pair()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 260, 16))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y_f = fused.apply(variables, x)          # must not call boom
+    y_p = plain.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_p))
+    # deep-stage band: 64 columns pass the program gate but one window
+    # row of C=384 transients exceeds the VMEM-footprint estimate
+    from cvcs_tpu.models.swin import _fused_fits
+
+    assert not _fused_fits(8, 256, 384, 4)
+    fused, plain = _block_pair(dim=384, heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 256, 384))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y_f = fused.apply(variables, x)          # must not call boom
+    y_p = plain.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_p))
+    # every window-path shape (bc<=512 tiles, all four stages) still
+    # admits the fused kernel
+    for w_map, c in [(64, 96), (32, 192), (16, 384), (8, 768),
+                     (128, 96), (64, 192), (32, 384), (16, 768)]:
+        assert _fused_fits(w_map, w_map, c, 8), (w_map, c)
+
+
 def test_env_escape_hatch(monkeypatch):
     """CVCS_TPU_FUSED_ATTN=0 forces the einsum branch (bit-identical)."""
     fused, plain = _block_pair()
