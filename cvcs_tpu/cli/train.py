@@ -129,6 +129,22 @@ def build_trainer(config: dict) -> Trainer:
             f"batch_size={train_cfg.batch_size}")
 
     mesh = common.mesh_from_config(config)
+    if (mesh is not None and mesh.devices.size > 1
+            and config["net"].startswith("Swin")):
+        # the fused Pallas window-attention train pair (default on
+        # single-chip, BASELINE.md round-5 train pass) is an opaque op
+        # to the SPMD partitioner — under a multi-device mesh it would
+        # force full-frame gathers, so default it off here; set
+        # CVCS_TPU_FUSED_ATTN_TRAIN=1 to override after profiling
+        import os
+
+        if os.environ.setdefault("CVCS_TPU_FUSED_ATTN_TRAIN", "0") == "0":
+            print(
+                "[cvcs_tpu] note: multi-device mesh with a Swin net — "
+                "fused window-attention training disabled (einsum path; "
+                "an unpartitioned pallas_call would force GSPMD "
+                "gathers); CVCS_TPU_FUSED_ATTN_TRAIN=1 overrides",
+                flush=True)
     if mesh is not None and dict(mesh.shape).get("spatial", 1) > 1:
         import jax
 

@@ -52,6 +52,17 @@ from cvcs_tpu.ops.pallas_swin import fused_window_attention
 
 _LN_EPS = 1e-6
 
+# Whether TRAINING uses the fused Pallas window-attention pair (forward
+# kernel + flash-style backward kernel, ops.pallas_swin._bwd_pallas) by
+# default. On: the same-session on-chip A/B (BASELINE.md round-5 train
+# pass) measured parity at bs 32 (133.7 vs 132.4 tiles512/s) and +9.9%
+# at bs 64 (142.2 vs 129.4 — the einsum path's batch-scaled f32
+# attention tensors degrade it past bs 32, the fused pair keeps
+# scaling). CVCS_TPU_FUSED_ATTN_TRAIN=0 opts out per-run; cli/train
+# sets that automatically under a multi-device mesh (an unpartitioned
+# pallas_call would force GSPMD gathers).
+_FUSED_TRAIN_DEFAULT = True
+
 
 def _pad_to(x: jnp.ndarray, mult: int):
     h, w = x.shape[1], x.shape[2]
@@ -249,17 +260,22 @@ class SwinBlock(nn.Module):
     param_dtype: Any = jnp.float32
 
     def _use_fused(self, train: bool) -> bool:
-        """Fused kernel policy: training keeps the einsum path (the
-        custom VJP recomputes a full forward — only worth it if measured
-        to win); `fused_attn` None = auto (TPU backend only), True
-        forces it on (interpreter mode off-TPU — for tests), False
-        forces it off. CVCS_TPU_FUSED_ATTN=0 is the global escape hatch
-        (e.g. GSPMD-sharded programs where an unpartitioned Pallas call
-        would force gathers)."""
+        """Fused kernel policy: `fused_attn` None = auto (TPU backend
+        only), True forces it on (interpreter mode off-TPU — for tests),
+        False forces it off. Training additionally gates on
+        `_FUSED_TRAIN_DEFAULT` (the Pallas fwd+bwd pair — see
+        ops.pallas_swin `_bwd_pallas`), overridable per-run with
+        CVCS_TPU_FUSED_ATTN_TRAIN=0/1. CVCS_TPU_FUSED_ATTN=0 is the
+        global escape hatch (e.g. GSPMD-sharded programs where an
+        unpartitioned Pallas call would force gathers)."""
         if os.environ.get("CVCS_TPU_FUSED_ATTN", "1") == "0":
             return False
-        if self.fused_attn is False or train:
+        if self.fused_attn is False:
             return False
+        if train:
+            env = os.environ.get("CVCS_TPU_FUSED_ATTN_TRAIN")
+            if env == "0" or (env is None and not _FUSED_TRAIN_DEFAULT):
+                return False
         if self.fused_attn is None:
             return jax.default_backend() == "tpu"
         return True

@@ -68,10 +68,12 @@ def test_fused_full_model():
     np.testing.assert_allclose(y_fused, y_plain, atol=5e-2 * scale)
 
 
-def test_fused_train_flag_uses_einsum():
-    """train=True must bypass the kernel even with fused_attn=True —
-    the two paths differ at bf16 rounding points, so bit-identical
-    outputs prove the einsum branch ran."""
+def test_fused_train_env_opt_out(monkeypatch):
+    """CVCS_TPU_FUSED_ATTN_TRAIN=0 must bypass the kernel in training
+    even with fused_attn=True — the two paths differ at bf16 rounding
+    points, so bit-identical outputs prove the einsum branch ran. (This
+    is also the switch cli/train flips under a multi-device mesh.)"""
+    monkeypatch.setenv("CVCS_TPU_FUSED_ATTN_TRAIN", "0")
     fused, plain = _block_pair()
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 16))
     x = x.astype(jnp.bfloat16)
@@ -174,6 +176,97 @@ def test_reference_twin_matches_kernel():
     a, r = np.asarray(y_k, np.float32), np.asarray(y_r, np.float32)
     scale = max(1.0, float(np.abs(r).max()))
     np.testing.assert_allclose(a, r, atol=3e-2 * scale)
+
+
+def _rand_op_args(b, hp, wp, c, heads, win, shift, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, hp, wp, c)), jnp.bfloat16)
+    ln_s = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.1, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    mask = _attn_mask(hp, wp, hp, wp, win, shift)
+    bias = (None if mask is None else
+            jnp.asarray(np.where(mask, 0.0, -1e9).astype(np.float32)))
+    return (x, ln_s, ln_b, wqkv, bqkv, wout, bout), bias, mask
+
+
+@pytest.mark.parametrize("case", [
+    dict(b=1, hp=8, wp=8, c=16, heads=2, win=4, shift=0),    # maskless
+    dict(b=2, hp=8, wp=12, c=16, heads=2, win=4, shift=2),   # region mask
+    dict(b=3, hp=12, wp=8, c=16, heads=4, win=4, shift=2),   # multi-row grid
+    dict(b=5, hp=4, wp=16, c=32, heads=2, win=4, shift=0),   # bb divisor of 5
+])
+def test_bwd_kernel_matches_reference_vjp(case):
+    """The Pallas backward kernel vs jax.vjp of the jnp twin, for every
+    argument (dx + all six parameter grads), across mask regimes and
+    multi-step grids (both batch and window-row accumulation)."""
+    from cvcs_tpu.ops.pallas_swin import _bwd_pallas
+
+    args, bias, _ = _rand_op_args(**case)
+    win, heads = case["win"], case["heads"]
+
+    def f(*a):
+        return _reference_fused(*a, bias, win=win, heads=heads)
+
+    y, vjp = jax.vjp(f, *args)
+    g = jnp.asarray(
+        np.random.default_rng(9).standard_normal(y.shape), y.dtype)
+    want = vjp(g)
+    got = _bwd_pallas(*args, bias, g, win=win, heads=heads, interpret=True)
+    assert len(got) == len(want) == 7
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert a.shape == b.shape and a.dtype == b.dtype, i
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, atol=5e-2 * scale,
+                                   err_msg=f"grad argument {i}")
+
+
+def test_bwd_fits_gate():
+    """Window-path shapes admit the backward kernel; fullconv-band-like
+    shapes (or huge C) must fall back to the jnp-recompute VJP."""
+    from cvcs_tpu.ops.pallas_swin import _bwd_fits
+
+    for w_map, c in [(64, 96), (32, 192), (16, 384), (8, 768),
+                     (128, 96), (64, 192), (32, 384), (16, 768)]:
+        assert _bwd_fits(8, w_map, w_map, c), (w_map, c)
+    assert not _bwd_fits(8, 64, 904, 96)     # 7232-wide fullconv band
+    assert not _bwd_fits(8, 64, 64, 4096)    # accumulators alone > budget
+
+
+def test_train_fused_grad_matches_einsum():
+    """Full SwinBlock gradient with the fused TRAIN path (Pallas fwd +
+    Pallas bwd) vs the einsum path, params and input."""
+    fused, plain = _block_pair(shifted=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 12, 16))
+    x = x.astype(jnp.bfloat16)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, train):
+        def f(v, xx):
+            return jnp.sum(
+                jnp.square(m.apply(v, xx, train).astype(jnp.float32)))
+        return f
+
+    import cvcs_tpu.models.swin as swin_mod
+    g_plain = jax.grad(loss(plain, True))(variables, x)
+    old = swin_mod._FUSED_TRAIN_DEFAULT
+    try:
+        swin_mod._FUSED_TRAIN_DEFAULT = True
+        g_fused = jax.grad(loss(fused, True))(variables, x)
+    finally:
+        swin_mod._FUSED_TRAIN_DEFAULT = old
+    flat_p = jax.tree_util.tree_leaves(g_plain)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_p) == len(flat_f)
+    for a, b in zip(flat_p, flat_f):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=5e-2 * scale)
 
 
 def test_pick_bb_divides():

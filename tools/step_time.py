@@ -63,6 +63,12 @@ def main():
           f"update_stats={update_stats}: {step_ms:.1f} ms/step  "
           f"{tiles:.1f} tiles512/s  flags={os.environ.get('LIBTPU_INIT_ARGS', '')}"
           f" xla={os.environ.get('XLA_FLAGS', '')}")
+    print(f"LOSSES {np.asarray(losses, np.float32).tolist()}")
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        print(f"PEAK_HBM_MB {stats['peak_bytes_in_use'] / 2**20:.0f}")
+    except Exception as e:  # tunneled backends may not expose stats
+        print(f"PEAK_HBM_MB unavailable ({e})")
 
 
 if __name__ == "__main__":
